@@ -1,0 +1,10 @@
+from .raster import (  # noqa: F401
+    GeoTransform,
+    IDENTITY_TRANSFORM,
+    Raster,
+    bounds,
+    pixel_to_world,
+    read_raster,
+    write_raster,
+)
+from . import tiff  # noqa: F401
