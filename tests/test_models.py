@@ -1,0 +1,143 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unet_tpu.models import ARCHS, DynamicUnet, XResNetBody, build_unet
+from unet_tpu.models.layers import (
+    avg_pool_ceil,
+    icnr_init,
+    max_pool_torch,
+    pixel_shuffle,
+    replication_blur,
+)
+
+
+class TestLayerPrimitives:
+    def test_pixel_shuffle_matches_torch(self):
+        import torch
+
+        x = np.random.default_rng(0).normal(size=(2, 8, 3, 5)).astype(np.float32)  # NCHW
+        want = torch.nn.functional.pixel_shuffle(torch.from_numpy(x), 2).numpy()
+        got = pixel_shuffle(jnp.moveaxis(jnp.asarray(x), 1, 3), 2)
+        np.testing.assert_allclose(np.moveaxis(np.asarray(got), 3, 1), want, rtol=1e-4, atol=1e-6)
+
+    def test_icnr_subkernels_equal(self):
+        k = icnr_init()(jax.random.PRNGKey(0), (1, 1, 16, 32))
+        k = np.asarray(k).reshape(16, 8, 4)
+        for j in range(4):
+            np.testing.assert_array_equal(k[:, :, j], k[:, :, 0])
+
+    def test_avg_pool_ceil_matches_torch(self):
+        import torch
+
+        x = np.random.default_rng(1).normal(size=(1, 4, 25, 25)).astype(np.float32)
+        want = torch.nn.AvgPool2d(2, ceil_mode=True)(torch.from_numpy(x)).numpy()
+        got = avg_pool_ceil(jnp.moveaxis(jnp.asarray(x), 1, 3), 2)
+        np.testing.assert_allclose(np.moveaxis(np.asarray(got), 3, 1), want, rtol=1e-4, atol=1e-6)
+
+    def test_max_pool_matches_torch(self):
+        import torch
+
+        x = np.random.default_rng(2).normal(size=(1, 3, 101, 100)).astype(np.float32)
+        want = torch.nn.MaxPool2d(3, 2, padding=1)(torch.from_numpy(x)).numpy()
+        got = max_pool_torch(jnp.moveaxis(jnp.asarray(x), 1, 3), 3, 2)
+        np.testing.assert_allclose(np.moveaxis(np.asarray(got), 3, 1), want, rtol=1e-4, atol=1e-6)
+
+    def test_blur_matches_torch(self):
+        import torch
+
+        x = np.random.default_rng(3).normal(size=(1, 2, 10, 10)).astype(np.float32)
+        t = torch.nn.ReplicationPad2d((1, 0, 1, 0))(torch.from_numpy(x))
+        want = torch.nn.AvgPool2d(2, stride=1)(t).numpy()
+        got = replication_blur(jnp.moveaxis(jnp.asarray(x), 1, 3))
+        np.testing.assert_allclose(np.moveaxis(np.asarray(got), 3, 1), want, rtol=1e-4, atol=1e-6)
+
+
+class TestXResNet:
+    @pytest.mark.parametrize("arch,exp_c", [("xresnet18", 512), ("xresnet34", 512), ("xresnet50", 2048)])
+    def test_feature_and_skip_shapes(self, arch, exp_c):
+        m = XResNetBody(arch=arch, c_in=4, dtype=jnp.float32)
+        x = jnp.zeros((1, 64, 64, 4))
+        (feats, skips), _ = m.init_with_output(jax.random.PRNGKey(0), x)
+        assert feats.shape == (1, 2, 2, exp_c)  # /32
+        assert [s.shape[1] for s in skips] == [4, 8, 16, 32]  # /16 /8 /4 /2 deepest-first
+
+    def test_xresnet34_skip_channels(self):
+        m = XResNetBody(arch="xresnet34", c_in=3, dtype=jnp.float32)
+        (feats, skips), _ = m.init_with_output(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+        assert [s.shape[-1] for s in skips] == [256, 128, 64, 64]
+
+
+class TestDynamicUnet:
+    def _init(self, model, shape):
+        x = jnp.zeros(shape, jnp.float32)
+        vars_ = model.init(jax.random.PRNGKey(0), x, train=False)
+        return vars_, x
+
+    def test_output_shape_pow2(self):
+        m = build_unet("xresnet18", n_out=3, c_in=4, dtype=jnp.float32)
+        v, x = self._init(m, (2, 64, 64, 4))
+        y = m.apply(v, x, train=False)
+        assert y.shape == (2, 64, 64, 3)
+        assert y.dtype == jnp.float32
+
+    def test_output_shape_nonpow2(self):
+        # 100 → 50/25/13/7/4 with odd sizes stressing the resize paths
+        m = build_unet("xresnet18", n_out=2, c_in=3, dtype=jnp.float32)
+        v, x = self._init(m, (1, 100, 100, 3))
+        y = m.apply(v, x, train=False)
+        assert y.shape == (1, 100, 100, 2)
+
+    def test_self_attention_param_exists(self):
+        m = build_unet("xresnet18", n_out=2, c_in=3, self_attention=True, dtype=jnp.float32)
+        v, x = self._init(m, (1, 64, 64, 3))
+        # SA goes in the third-from-last UnetBlock: up_1 of 4
+        assert "sa" in v["params"]["up_1"]
+        y = m.apply(v, x, train=False)
+        assert y.shape == (1, 64, 64, 2)
+
+    def test_train_mode_updates_batch_stats(self):
+        m = build_unet("xresnet18", n_out=2, c_in=3, dtype=jnp.float32)
+        v, _ = self._init(m, (2, 32, 32, 3))
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+        y, mutated = m.apply(v, x, train=True, mutable=["batch_stats"])
+        before = jax.tree_util.tree_leaves(v["batch_stats"])
+        after = jax.tree_util.tree_leaves(mutated["batch_stats"])
+        assert any(not np.allclose(b, a) for b, a in zip(before, after))
+
+    def test_gradients_flow_to_all_params(self):
+        m = build_unet("xresnet18", n_out=2, c_in=3, dtype=jnp.float32)
+        v, _ = self._init(m, (1, 32, 32, 3))
+        x = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 3))
+
+        def loss_fn(params):
+            y = m.apply({"params": params, "batch_stats": v["batch_stats"]}, x,
+                        train=True, mutable=["batch_stats"])[0]
+            return jnp.mean(y ** 2)
+
+        grads = jax.grad(loss_fn)(v["params"])
+        zero_grads = [
+            p for p, g in jax.tree_util.tree_leaves_with_path(grads)
+            if np.allclose(np.asarray(g), 0.0)
+        ]
+        # gamma (self-attn off here) aside, every parameter should receive gradient
+        assert not zero_grads or all("gamma" in str(p) for p in zero_grads)
+
+    def test_decoder_channel_walk_xresnet34(self):
+        """Decoder widths must match the fastai-derived walk:
+        512 → UB(512) → UB(384) → UB(256) → UB(96) → head."""
+        m = build_unet("xresnet34", n_out=3, c_in=5, dtype=jnp.float32)
+        v, x = self._init(m, (1, 64, 64, 5))
+        p = v["params"]
+        assert p["up_0"]["conv1"]["conv"]["kernel"].shape[-1] == 512
+        assert p["up_1"]["conv1"]["conv"]["kernel"].shape[-1] == 384
+        assert p["up_2"]["conv1"]["conv"]["kernel"].shape[-1] == 256
+        assert p["up_3"]["conv1"]["conv"]["kernel"].shape[-1] == 96
+        # last_cross operates on 96 + c_in channels
+        assert p["last_cross"]["conv1"]["conv"]["kernel"].shape[-2] == 96 + 5
+        assert p["head"]["kernel"].shape == (1, 1, 96 + 5, 3)
+
+    def test_bad_arch_raises(self):
+        with pytest.raises(ValueError, match="Unknown architecture"):
+            build_unet("resnet999")

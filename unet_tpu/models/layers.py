@@ -1,0 +1,235 @@
+"""Building-block layers for the TPU-native U-Net.
+
+These re-derive, from spec, the fastai layer semantics the reference builds
+its model from (train.py:98-160 wraps fastai ``DynamicUnet``/``xresnet``):
+ConvLayer (conv+[norm]+act with torch-style explicit padding so output
+geometry matches torch exactly), ResBlock (Bag-of-Tricks variant with
+zero-init final BN and avg-pool downsample identity path), PixelShuffle with
+ICNR init (+ optional replication-pad blur), and SAGAN-style self-attention.
+
+Everything is NHWC (TPU-native conv layout) with bf16 compute / fp32 params
+by default; batch-norm statistics are computed in fp32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def torch_pad(ks: int) -> Sequence[Tuple[int, int]]:
+    """Symmetric explicit padding identical to torch Conv2d(padding=ks//2).
+
+    XLA's 'SAME' distributes padding as (lo, hi)=(p//2, p-p//2) which shifts
+    outputs by one pixel vs torch for even inputs at stride 2; explicit
+    padding keeps geometry bit-identical to the reference model.
+    """
+    p = (ks - 1) // 2
+    return ((p, p), (p, p))
+
+
+class ConvLayer(nn.Module):
+    """conv → [BatchNorm] → [ReLU], matching fastai ConvLayer semantics.
+
+    ``norm``: None | 'batch' | 'batchzero' (zero-init gamma, the
+    Bag-of-Tricks trick fastai calls NormType.BatchZero). Bias is enabled
+    exactly when there is no norm, as fastai does. Note the reference's
+    DynamicUnet accidentally disables norm in all decoder ConvLayers by
+    passing the NormType *class* (train.py:100); see models/unet.py.
+    """
+
+    nf: int
+    ks: int = 3
+    stride: int = 1
+    norm: Optional[str] = "batch"
+    act: bool = True
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        use_bias = self.norm is None
+        x = nn.Conv(
+            self.nf,
+            (self.ks, self.ks),
+            strides=(self.stride, self.stride),
+            padding=torch_pad(self.ks),
+            use_bias=use_bias,
+            kernel_init=nn.initializers.he_normal(),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        if self.norm is not None:
+            scale_init = nn.initializers.zeros if self.norm == "batchzero" else nn.initializers.ones
+            x = nn.BatchNorm(
+                use_running_average=not train,
+                momentum=0.9,
+                epsilon=1e-5,
+                dtype=jnp.float32,
+                param_dtype=jnp.float32,
+                scale_init=scale_init,
+                name="bn",
+            )(x)
+            x = x.astype(self.dtype)
+        if self.act:
+            x = nn.relu(x)
+        return x
+
+
+def max_pool_torch(x: jax.Array, ks: int = 3, stride: int = 2) -> jax.Array:
+    """torch MaxPool2d(ks, stride, padding=ks//2) on NHWC."""
+    p = (ks - 1) // 2
+    return nn.max_pool(
+        x, (ks, ks), strides=(stride, stride), padding=((p, p), (p, p))
+    )
+
+
+def avg_pool_ceil(x: jax.Array, ks: int = 2) -> jax.Array:
+    """torch AvgPool2d(ks, ceil_mode=True): clipped windows divide by the
+    actual element count (used in the ResBlock identity path)."""
+    b, h, w, c = x.shape
+    pad_h = (-h) % ks
+    pad_w = (-w) % ks
+    pads = ((0, 0), (0, pad_h), (0, pad_w), (0, 0))
+    summed = jax.lax.reduce_window(
+        x.astype(jnp.float32), 0.0, jax.lax.add, (1, ks, ks, 1), (1, ks, ks, 1), pads
+    )
+    ones = jnp.ones((1, h, w, 1), jnp.float32)
+    counts = jax.lax.reduce_window(
+        ones, 0.0, jax.lax.add, (1, ks, ks, 1), (1, ks, ks, 1), pads
+    )
+    return (summed / counts).astype(x.dtype)
+
+
+class ResBlock(nn.Module):
+    """fastai Bag-of-Tricks ResBlock.
+
+    expansion 1: 3x3(stride) → 3x3(BatchZero); expansion 4:
+    1x1 → 3x3(stride) → 1x1(BatchZero). Identity path: AvgPool(2, ceil) when
+    striding, 1x1 conv (no act) when channel counts differ. ReLU after add.
+    """
+
+    expansion: int
+    nf: int
+    stride: int = 1
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        ni = x.shape[-1]
+        nf_out = self.nf * self.expansion
+        if self.expansion == 1:
+            y = ConvLayer(self.nf, 3, self.stride, dtype=self.dtype, name="conv1")(x, train)
+            y = ConvLayer(nf_out, 3, 1, norm="batchzero", act=False, dtype=self.dtype, name="conv2")(y, train)
+        else:
+            y = ConvLayer(self.nf, 1, 1, dtype=self.dtype, name="conv1")(x, train)
+            y = ConvLayer(self.nf, 3, self.stride, dtype=self.dtype, name="conv2")(y, train)
+            y = ConvLayer(nf_out, 1, 1, norm="batchzero", act=False, dtype=self.dtype, name="conv3")(y, train)
+
+        idn = x
+        if self.stride != 1:
+            idn = avg_pool_ceil(idn, 2)
+        if ni != nf_out:
+            idn = ConvLayer(nf_out, 1, 1, act=False, dtype=self.dtype, name="idconv")(idn, train)
+        return nn.relu(y + idn)
+
+
+def pixel_shuffle(x: jax.Array, r: int = 2) -> jax.Array:
+    """torch nn.PixelShuffle on NHWC: C = c*r*r with (c, dy, dx) ordering."""
+    b, h, w, crr = x.shape
+    c = crr // (r * r)
+    x = x.reshape(b, h, w, c, r, r)
+    x = x.transpose(0, 1, 4, 2, 5, 3)  # B, H, dy, W, dx, c
+    return x.reshape(b, h * r, w * r, c)
+
+
+def icnr_init(base_init: Callable = nn.initializers.he_normal(), scale: int = 2) -> Callable:
+    """ICNR initializer for the pixel-shuffle 1x1 conv kernel (HWIO).
+
+    All ``scale**2`` sub-kernels of each output channel start identical so
+    the upsample begins checkerboard-free (fastai ``icnr_init``).
+    """
+
+    def init(key, shape, dtype=jnp.float32):
+        h, w, ni, nf_rr = shape
+        nf = nf_rr // (scale * scale)
+        k = base_init(key, (h, w, ni, nf), dtype)
+        return jnp.repeat(k, scale * scale, axis=-1)
+
+    return init
+
+
+def replication_blur(x: jax.Array) -> jax.Array:
+    """fastai's anti-checkerboard blur: ReplicationPad2d((1,0,1,0)) then
+    AvgPool2d(2, stride=1). Shape-preserving."""
+    x = jnp.pad(x, ((0, 0), (1, 0), (1, 0), (0, 0)), mode="edge")
+    return nn.avg_pool(x, (2, 2), strides=(1, 1))
+
+
+class PixelShuffleICNR(nn.Module):
+    """1x1 conv (ICNR init) → PixelShuffle(2) → [blur].
+
+    fastai PixelShuffle_ICNR with the reference's effective config: no norm
+    on the conv (NormType class quirk), zero-init bias, ReLU act.
+    """
+
+    nf: int
+    blur: bool = False
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.Conv(
+            self.nf * 4,
+            (1, 1),
+            use_bias=True,
+            kernel_init=icnr_init(),
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        x = nn.relu(x)
+        x = pixel_shuffle(x, 2)
+        if self.blur:
+            x = replication_blur(x)
+        return x
+
+
+class SelfAttention(nn.Module):
+    """SAGAN-style self-attention over the spatial token grid.
+
+    fastai SelfAttention (used mid-decoder when ``self_attention=True``,
+    train.py:141-144): f,g 1x1 projections to C/8, h to C,
+    out = gamma * (h @ softmax(fᵀg)) + x with gamma starting at 0.
+    Attention matmuls run on the MXU with fp32 accumulation. (Deviation:
+    fastai spectral-norms the projections; omitted as it exists for GAN
+    stability and is a no-op at gamma=0 initialization.)
+    """
+
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, h, w, c = x.shape
+        tokens = x.reshape(b, h * w, c)
+        proj = lambda nf, name: nn.Dense(
+            nf, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name=name
+        )(tokens)
+        f = proj(max(c // 8, 1), "query")
+        g = proj(max(c // 8, 1), "key")
+        v = proj(c, "value")
+        # beta[b, i, j] = softmax_i(f_i · g_j): each output token j attends
+        # over source tokens i (torch softmax(dim=1) semantics).
+        s = jnp.einsum("bic,bjc->bij", f, g, preferred_element_type=jnp.float32)
+        beta = jax.nn.softmax(s, axis=1)
+        o = jnp.einsum("bij,bic->bjc", beta.astype(self.dtype), v,
+                       preferred_element_type=jnp.float32)
+        gamma = self.param("gamma", nn.initializers.zeros, (1,), jnp.float32)
+        out = gamma * o + tokens.astype(jnp.float32)
+        return out.astype(self.dtype).reshape(b, h, w, c)

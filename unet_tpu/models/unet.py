@@ -1,0 +1,172 @@
+"""DynamicUnet re-derived as a static Flax module.
+
+The reference delegates its entire decoder topology to fastai's hook-driven
+``DynamicUnet`` (train.py:141-144, called with ``blur=True, blur_final=True,
+self_attention=<flag>, last_cross=True, bottle=False``). fastai sizes the
+decoder at runtime by dummy-forwarding the encoder; here the topology is
+derived statically from the architecture table — the XLA-friendly design
+(static shapes, traced once).
+
+Faithfully reproduced details:
+* skip set = last activation per resolution (xresnet children [6,5,4,2])
+* middle: BatchNorm → ReLU → ConvLayer(ni→2ni) → ConvLayer(2ni→ni)
+* UnetBlock: PixelShuffle-ICNR(up_in→up_in/2, blur) ‖ BatchNorm(skip) →
+  ReLU(concat) → ConvLayer(ni→nf) → ConvLayer(nf→nf [+ self-attention]),
+  nf = ni except ni/2 in the final block (``final_div=not_final``)
+* self-attention sits in the third-from-last UnetBlock (i == n-3)
+* trailing PixelShuffle-ICNR (no blur) back to full res, nearest-resize to
+  the input grid, last_cross dense-merge with the raw input, ResBlock, and a
+  1x1 head to ``n_out``
+* the reference passes the NormType *class* as norm_type, which disables
+  normalization inside every decoder ConvLayer/ResBlock and enables conv
+  bias; only the explicit BatchNorms above remain. Reproduced via
+  ``decoder_norm=None`` (configurable for a clean mode).
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import ConvLayer, PixelShuffleICNR, ResBlock, SelfAttention
+from .xresnet import ARCHS, XResNetBody
+
+
+class UnetBlock(nn.Module):
+    """One decoder stage: upsample, fuse skip, refine."""
+
+    final_div: bool
+    blur: bool
+    self_attention: bool = False
+    norm: Optional[str] = None
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, up_in: jax.Array, skip: jax.Array, train: bool = False) -> jax.Array:
+        up_c = up_in.shape[-1]
+        up_out = PixelShuffleICNR(up_c // 2, blur=self.blur, dtype=self.dtype, name="shuf")(up_in)
+        if up_out.shape[1:3] != skip.shape[1:3]:
+            # odd encoder sizes (e.g. 25 → 13 → 26): nearest-resize to the
+            # skip grid, as fastai's F.interpolate fallback does.
+            up_out = jax.image.resize(
+                up_out, (up_out.shape[0], *skip.shape[1:3], up_out.shape[-1]), method="nearest"
+            )
+        s = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, param_dtype=jnp.float32, name="bn",
+        )(skip)
+        cat = jnp.concatenate([up_out, s.astype(self.dtype)], axis=-1)
+        cat = nn.relu(cat)
+        ni = cat.shape[-1]
+        nf = ni if self.final_div else ni // 2
+        x = ConvLayer(nf, 3, norm=self.norm, dtype=self.dtype, name="conv1")(cat, train)
+        x = ConvLayer(nf, 3, norm=self.norm, dtype=self.dtype, name="conv2")(x, train)
+        if self.self_attention:
+            x = SelfAttention(dtype=self.dtype, name="sa")(x)
+        return x
+
+
+class DynamicUnet(nn.Module):
+    """U-Net over an XResNet body — the reference's flagship model.
+
+    Logits come back in NHWC float32; callers choose softmax/argmax.
+    """
+
+    arch: str = "xresnet34"
+    n_out: int = 2
+    c_in: int = 3
+    self_attention: bool = False
+    blur: bool = True
+    blur_final: bool = True
+    last_cross: bool = True
+    bottle: bool = False
+    decoder_norm: Optional[str] = None  # reference-effective: no decoder norm
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        orig = x.astype(self.dtype)
+        feats, skips = XResNetBody(self.arch, self.c_in, dtype=self.dtype, name="encoder")(
+            orig, train
+        )
+
+        ni = feats.shape[-1]
+        y = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=jnp.float32, param_dtype=jnp.float32, name="mid_bn",
+        )(feats)
+        y = nn.relu(y).astype(self.dtype)
+        y = ConvLayer(ni * 2, 3, norm=self.decoder_norm, dtype=self.dtype, name="mid_conv1")(y, train)
+        y = ConvLayer(ni, 3, norm=self.decoder_norm, dtype=self.dtype, name="mid_conv2")(y, train)
+
+        n = len(skips)
+        for i, skip in enumerate(skips):
+            not_final = i != n - 1
+            y = UnetBlock(
+                final_div=not_final,
+                blur=self.blur and (not_final or self.blur_final),
+                self_attention=self.self_attention and (i == n - 3),
+                norm=self.decoder_norm,
+                dtype=self.dtype,
+                name=f"up_{i}",
+            )(y, skip, train)
+
+        if y.shape[1:3] != orig.shape[1:3]:
+            # first encoder activation sits at /2, so one more shuffle
+            # (fastai appends PixelShuffle_ICNR(ni) without blur here)
+            y = PixelShuffleICNR(y.shape[-1], blur=False, dtype=self.dtype, name="final_shuf")(y)
+        if y.shape[1:3] != orig.shape[1:3]:
+            y = jax.image.resize(
+                y, (y.shape[0], *orig.shape[1:3], y.shape[-1]), method="nearest"
+            )
+
+        if self.last_cross:
+            y = jnp.concatenate([y, orig], axis=-1)
+            ni_rb = y.shape[-1]
+            y = ResBlockNoNorm(ni_rb // 2 if self.bottle else ni_rb, norm=self.decoder_norm,
+                               dtype=self.dtype, name="last_cross")(y, train)
+
+        logits = nn.Conv(
+            self.n_out, (1, 1), use_bias=True,
+            kernel_init=nn.initializers.he_normal(),
+            dtype=self.dtype, param_dtype=jnp.float32, name="head",
+        )(y)
+        return logits.astype(jnp.float32)
+
+
+class ResBlockNoNorm(nn.Module):
+    """The last_cross ResBlock. Like layers.ResBlock (expansion 1, stride 1)
+    but honoring the reference's no-norm decoder quirk."""
+
+    nf: int
+    norm: Optional[str] = None
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        ni = x.shape[-1]
+        y = ConvLayer(self.nf, 3, norm=self.norm, dtype=self.dtype, name="conv1")(x, train)
+        second_norm = "batchzero" if self.norm == "batch" else self.norm
+        y = ConvLayer(self.nf, 3, norm=second_norm, act=False, dtype=self.dtype, name="conv2")(y, train)
+        idn = x
+        if ni != self.nf:
+            idn = ConvLayer(self.nf, 1, act=False, norm=self.norm, dtype=self.dtype, name="idconv")(idn, train)
+        return nn.relu(y + idn)
+
+
+def build_unet(
+    arch: str = "xresnet34",
+    n_out: int = 2,
+    c_in: int = 3,
+    self_attention: bool = False,
+    dtype: Any = jnp.bfloat16,
+    **kwargs,
+) -> DynamicUnet:
+    if arch not in ARCHS:
+        raise ValueError(f"Unknown architecture {arch!r}; options: {sorted(ARCHS)}")
+    return DynamicUnet(
+        arch=arch, n_out=n_out, c_in=c_in, self_attention=self_attention, dtype=dtype, **kwargs
+    )

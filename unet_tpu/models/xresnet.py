@@ -1,0 +1,86 @@
+"""XResNet encoder bodies (Bag-of-Tricks ResNets), re-derived for TPU.
+
+The reference uses fastai's ``xresnet{18,34,50,101,34_deep}`` as the U-Net
+encoder after cutting the classification head and swapping the first conv
+for an N-input-channel one (train.py:126-135). Here the N-channel stem is
+simply a constructor argument, and the encoder returns its skip activations
+explicitly — the static-shape replacement for fastai's runtime forward-hook
+mechanism (DynamicUnet hooks children [conv3, stage1..stageN-1]; SURVEY.md
+"hard parts").
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from .layers import ConvLayer, ResBlock, max_pool_torch
+
+# architecture name -> (expansion, blocks per stage)
+ARCHS: Dict[str, Tuple[int, Tuple[int, ...]]] = {
+    "xresnet18": (1, (2, 2, 2, 2)),
+    "xresnet34": (1, (3, 4, 6, 3)),
+    "xresnet50": (4, (3, 4, 6, 3)),
+    "xresnet101": (4, (3, 4, 23, 3)),
+    "xresnet34_deep": (1, (3, 4, 6, 3, 1, 1)),
+}
+
+
+def stage_widths(n_stages: int) -> List[int]:
+    """fastai block_szs: [64, 128, 256, 512] then 256 for deeper stages."""
+    base = [64, 128, 256, 512]
+    return base[:n_stages] + [256] * max(0, n_stages - 4)
+
+
+class XResNetBody(nn.Module):
+    """Encoder body: 3-conv stem + maxpool + residual stages.
+
+    ``__call__`` returns ``(features, skips)`` where ``skips`` are the
+    activations the decoder consumes, deepest-first: [stage_{N-1}, ...,
+    stage_1, stem_conv3] — i.e. the last activation at each resolution
+    before further downsampling, exactly the layers fastai's
+    ``_get_sz_change_idxs`` hooks (children [6,5,4,2] for 4-stage nets).
+    """
+
+    arch: str = "xresnet34"
+    c_in: int = 3
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> Tuple[jax.Array, List[jax.Array]]:
+        expansion, layers = ARCHS[self.arch]
+        widths = stage_widths(len(layers))
+
+        # Stem: ConvLayer(c_in,32,stride2) → (32,32) → (32,64), then maxpool.
+        # The reference's "multispectral swap" of body[0][0] (train.py:130-135)
+        # is just c_in here.
+        x = ConvLayer(32, 3, 2, dtype=self.dtype, name="stem_0")(x, train)
+        x = ConvLayer(32, 3, 1, dtype=self.dtype, name="stem_1")(x, train)
+        x = ConvLayer(64, 3, 1, dtype=self.dtype, name="stem_2")(x, train)
+        stem_out = x  # skip at /2
+        x = max_pool_torch(x, 3, 2)
+
+        stage_outs: List[jax.Array] = []
+        for s, (n_blocks, width) in enumerate(zip(layers, widths)):
+            stride = 1 if s == 0 else 2
+            for b in range(n_blocks):
+                x = ResBlock(
+                    expansion,
+                    width,
+                    stride=stride if b == 0 else 1,
+                    dtype=self.dtype,
+                    name=f"stage_{s}_block_{b}",
+                )(x, train)
+            stage_outs.append(x)
+
+        # skips: every stage output except the deepest, reversed, then stem.
+        skips = list(reversed(stage_outs[:-1])) + [stem_out]
+        return x, skips
+
+
+def encoder_out_channels(arch: str) -> int:
+    expansion, layers = ARCHS[arch]
+    return stage_widths(len(layers))[len(layers) - 1] * expansion
