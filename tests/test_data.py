@@ -1,0 +1,198 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unet_tpu.data import (
+    AugmentConfig,
+    NOOP_AUGMENT,
+    TileDataset,
+    TileLoader,
+    augment_batch,
+    get_datatype,
+    get_mask_path,
+    get_patch_size,
+    n_augmented,
+    resolve_class_weights,
+)
+from unet_tpu.geo import write_raster
+
+T = (500000.0, 0.2, 0.0, 5400000.0, 0.0, -0.2)
+
+
+@pytest.fixture
+def dataset_dir(tmp_path, rng):
+    """trai: 10 tiles, vali: 4 tiles, 3 bands, 3 classes."""
+    for scene, n in (("trai", 10), ("vali", 4)):
+        (tmp_path / scene / "img_tiles").mkdir(parents=True)
+        (tmp_path / scene / "mask_tiles").mkdir(parents=True)
+        for i in range(n):
+            img = rng.integers(0, 255, size=(3, 32, 32)).astype(np.uint8)
+            msk = rng.integers(0, 3, size=(1, 32, 32)).astype(np.uint8)
+            write_raster(tmp_path / scene / "img_tiles" / f"s_{i}.tif", img, transform=T)
+            write_raster(tmp_path / scene / "mask_tiles" / f"s_{i}.tif", msk, transform=T)
+    return tmp_path
+
+
+class TestDataset:
+    def test_split_by_folder(self, dataset_dir):
+        ds = TileDataset(dataset_dir)
+        assert ds.n_train == 10 and ds.n_valid == 4
+        assert all(f.parent.parent.name == "vali" for f in ds.valid_files)
+
+    def test_mask_pairing(self, dataset_dir):
+        ds = TileDataset(dataset_dir)
+        img, msk = ds.load_pair(ds.train_files[0])
+        assert img.shape == (3, 32, 32) and img.dtype == np.float32
+        assert msk.shape == (32, 32) and msk.dtype == np.int32
+        assert "mask_tiles" in str(get_mask_path(ds.train_files[0]))
+
+    def test_datatype_detection_int8(self, dataset_dir):
+        assert get_datatype(dataset_dir) == "int8"
+
+    def test_datatype_detection_int16(self, tmp_path, rng):
+        (tmp_path / "trai" / "img_tiles").mkdir(parents=True)
+        img = rng.integers(0, 60000, size=(3, 16, 16)).astype(np.uint16)
+        write_raster(tmp_path / "trai" / "img_tiles" / "a.tif", img)
+        assert get_datatype(tmp_path) == "int16"
+
+    def test_patch_size(self, dataset_dir):
+        width, res, dtype, bands = get_patch_size(dataset_dir)
+        assert width == 32 and bands == 3
+        assert res == (pytest.approx(0.2), pytest.approx(0.2))
+
+
+class TestLoader:
+    def test_train_batches_drop_last(self, dataset_dir):
+        ds = TileDataset(dataset_dir)
+        dl = TileLoader(ds, ds.train_files, batch_size=4, shuffle=True, drop_last=True, seed=0)
+        batches = list(dl)
+        assert len(batches) == 2  # 10 // 4
+        imgs, msks, n_valid = batches[0]
+        assert imgs.shape == (4, 32, 32, 3) and msks.shape == (4, 32, 32)
+        assert n_valid == 4
+
+    def test_valid_batches_padded(self, dataset_dir):
+        ds = TileDataset(dataset_dir)
+        dl = TileLoader(ds, ds.valid_files, batch_size=3, shuffle=False)
+        batches = list(dl)
+        assert len(batches) == 2
+        assert batches[1][2] == 1  # 4 = 3 + 1 → last batch 1 real sample
+        assert batches[1][0].shape[0] == 3  # padded to full batch
+
+    def test_shuffle_varies_by_epoch(self, dataset_dir):
+        ds = TileDataset(dataset_dir)
+        dl = TileLoader(ds, ds.train_files, batch_size=10, shuffle=True, seed=1)
+        a = next(iter(dl))[0]
+        b = next(iter(dl))[0]
+        assert not np.array_equal(a, b)
+
+
+class TestClassWeights:
+    def test_even(self):
+        w = resolve_class_weights("even", ["a", "b", "c"])
+        np.testing.assert_allclose(w, [1 / 3] * 3)
+
+    def test_weighted_inverse_frequency(self, dataset_dir):
+        w = resolve_class_weights("weighted", ["a", "b", "c"], data_path=dataset_dir)
+        assert len(w) == 3 and all(v > 0 for v in w)
+        # roughly uniform data → weights near n_classes... (total/count ≈ 3)
+        assert all(2.0 < v < 4.5 for v in w)
+
+    def test_explicit_list(self):
+        assert resolve_class_weights([1, 2, 3], ["a", "b", "c"]) == [1.0, 2.0, 3.0]
+
+    def test_regression_single(self):
+        assert resolve_class_weights("weighted", ["a"], regression=True) == [1.0]
+
+    def test_length_mismatch_raises(self):
+        with pytest.raises(ValueError):
+            resolve_class_weights([1, 2], ["a", "b", "c"])
+
+
+class TestAugment:
+    def _batch(self, rng, b=4, h=16, w=16, c=3):
+        imgs = jnp.asarray(rng.integers(0, 255, size=(b, h, w, c)).astype(np.float32))
+        msks = jnp.asarray(rng.integers(0, 3, size=(b, h, w)).astype(np.int32))
+        return imgs, msks
+
+    def test_noop_scaling_int16(self, rng):
+        imgs, msks = self._batch(rng)
+        out, m = augment_batch(jax.random.PRNGKey(0), imgs, msks, NOOP_AUGMENT,
+                               dtype_str="int16", normalize="reference")
+        np.testing.assert_allclose(np.asarray(out), np.asarray(imgs) / 255.0, rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(m), np.asarray(msks))
+
+    def test_int8_reference_passthrough(self, rng):
+        imgs, msks = self._batch(rng)
+        out, _ = augment_batch(jax.random.PRNGKey(0), imgs, msks, NOOP_AUGMENT,
+                               dtype_str="int8", normalize="reference")
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(imgs))
+
+    def test_unit_normalize(self, rng):
+        imgs, msks = self._batch(rng)
+        out, _ = augment_batch(jax.random.PRNGKey(0), imgs, msks, NOOP_AUGMENT,
+                               dtype_str="int8", normalize="unit")
+        assert float(np.max(np.asarray(out))) <= 1.0
+
+    def test_flip_applies_jointly_to_image_and_mask(self, rng):
+        imgs, msks = self._batch(rng)
+        cfg = AugmentConfig(hflip_p=1.0, vflip_p=0.0)
+        out_i, out_m = augment_batch(jax.random.PRNGKey(0), imgs, msks, cfg,
+                                     n_transform_imgs=1.0, dtype_str="int8")
+        np.testing.assert_array_equal(np.asarray(out_i), np.asarray(imgs)[:, :, ::-1])
+        np.testing.assert_array_equal(np.asarray(out_m), np.asarray(msks)[:, :, ::-1])
+
+    def test_partial_batch_augmented(self, rng):
+        imgs, msks = self._batch(rng, b=4)
+        cfg = AugmentConfig(hflip_p=1.0, vflip_p=0.0)
+        out_i, _ = augment_batch(jax.random.PRNGKey(0), imgs, msks, cfg,
+                                 n_transform_imgs=0.5, dtype_str="int8")
+        np.testing.assert_array_equal(np.asarray(out_i)[:2], np.asarray(imgs)[:2, :, ::-1])
+        np.testing.assert_array_equal(np.asarray(out_i)[2:], np.asarray(imgs)[2:])
+
+    def test_n_augmented_rounding_and_quirk(self):
+        assert n_augmented(4, 0.5) == 2
+        assert n_augmented(4, 0.3) == 2  # ceil(1.2)
+        assert n_augmented(4, 1.0) == 4
+        assert n_augmented(4, 1.0, reference_quirks=True) == 0  # reference bug
+        with pytest.raises(ValueError):
+            n_augmented(4, 1.5)
+
+    def test_split_idx_gating(self, rng):
+        imgs, msks = self._batch(rng)
+        cfg = AugmentConfig(hflip_p=1.0, vflip_p=0.0)
+        # split_idx=0: no augmentation on valid batches (scaling only)
+        out_i, _ = augment_batch(jax.random.PRNGKey(0), imgs, msks, cfg,
+                                 split="valid", split_idx=0, dtype_str="int8")
+        np.testing.assert_array_equal(np.asarray(out_i), np.asarray(imgs))
+        # split_idx=None: augment both
+        out_i, _ = augment_batch(jax.random.PRNGKey(0), imgs, msks, cfg,
+                                 split="valid", split_idx=None, dtype_str="int8")
+        np.testing.assert_array_equal(np.asarray(out_i), np.asarray(imgs)[:, :, ::-1])
+
+    def test_brightness_contrast_changes_only_augmented(self, rng):
+        imgs, msks = self._batch(rng)
+        cfg = AugmentConfig(hflip_p=0.0, vflip_p=0.0, brightness_contrast_p=1.0,
+                            brightness_limit=(0.1, 0.1), contrast_limit=(0.0, 0.0))
+        out_i, _ = augment_batch(jax.random.PRNGKey(0), imgs, msks, cfg,
+                                 n_transform_imgs=0.5, dtype_str="int8")
+        np.testing.assert_allclose(np.asarray(out_i)[:2], np.asarray(imgs)[:2] + 25.5, rtol=1e-5)
+        np.testing.assert_array_equal(np.asarray(out_i)[2:], np.asarray(imgs)[2:])
+
+    def test_coarse_dropout_zeroes_regions(self, rng):
+        imgs, msks = self._batch(rng, h=32, w=32)
+        imgs = imgs + 1.0  # ensure strictly positive
+        cfg = AugmentConfig(hflip_p=0.0, vflip_p=0.0, coarse_dropout_p=1.0)
+        out_i, out_m = augment_batch(jax.random.PRNGKey(3), imgs, msks, cfg,
+                                     n_transform_imgs=1.0, dtype_str="int8")
+        assert np.sum(np.asarray(out_i) == 0) > 0
+        np.testing.assert_array_equal(np.asarray(out_m), np.asarray(msks))  # mask untouched
+
+    def test_int16_quirk_scale(self, rng):
+        imgs, msks = self._batch(rng, b=2)
+        out_i, _ = augment_batch(jax.random.PRNGKey(0), imgs, msks, NOOP_AUGMENT,
+                                 n_transform_imgs=0.5, dtype_str="int16",
+                                 reference_quirks=True)
+        np.testing.assert_allclose(np.asarray(out_i)[0], np.asarray(imgs)[0] * (255.0 / 65535.0), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(out_i)[1], np.asarray(imgs)[1] / 255.0, rtol=1e-5)

@@ -1,0 +1,192 @@
+"""On-device batch augmentation + value scaling.
+
+The reference augments on CPU per image via Albumentations with a
+GPU→numpy→GPU round-trip per augmented image (utils.py:196-295) — its
+biggest data-path sink (SURVEY.md §3.2). Here augmentation is a jitted,
+vectorized jnp program over the whole device batch: XLA fuses the flips,
+brightness/contrast and dropout into the input pipeline, so augmentation is
+effectively free next to the conv FLOPs.
+
+Semantics reproduced:
+* default pipeline = HorizontalFlip(p=.5) + VerticalFlip(p=.5)
+  (params_and_main.py:105-115); RandomBrightnessContrast and CoarseDropout
+  supported as the reference keeps them available (commented defaults)
+* only the first ``ceil(B · n_transform_imgs)`` images of a batch are
+  augmented (utils.py:240-256). Under ``reference_quirks`` the reference's
+  off-by-one is reproduced: a fraction of exactly 1.0 augments *nothing*
+  (slice ``[:ceil(B·1)-B] == [:0]``, SURVEY.md C6)
+* value scaling per detected dtype (utils.py:245-295): 'int16' tiles are
+  divided by 255, 'int8' passed through ("reference" normalize mode, so the
+  network sees the same 0..255-ish ranges as the reference); "unit" mode
+  scales to [0,1] instead. Under ``reference_quirks`` augmented int16 images
+  get the reference's slightly different ÷65535·255 scale
+* ``split_idx`` gating: 0 → train batches only, 1 → valid only, None → both
+  (utils.py:217, params_and_main.py:103)
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+@dataclass(frozen=True)
+class AugmentConfig:
+    hflip_p: float = 0.5
+    vflip_p: float = 0.5
+    brightness_limit: Tuple[float, float] = (-0.1, 0.1)
+    contrast_limit: Tuple[float, float] = (-0.1, 0.1)
+    brightness_contrast_p: float = 0.0
+    coarse_dropout_p: float = 0.0
+    dropout_holes: int = 8
+    dropout_size: int = 8
+
+    def describe(self) -> dict:
+        """Transform-name → probability map for the run manifest
+        (utils.py:381 ``aug_params_``)."""
+        d = {}
+        if self.hflip_p:
+            d["HorizontalFlip"] = self.hflip_p
+        if self.vflip_p:
+            d["VerticalFlip"] = self.vflip_p
+        if self.brightness_contrast_p:
+            d["RandomBrightnessContrast"] = self.brightness_contrast_p
+        if self.coarse_dropout_p:
+            d["CoarseDropout"] = self.coarse_dropout_p
+        if not d:
+            d["NoOp"] = 1.0
+        return d
+
+
+NOOP_AUGMENT = AugmentConfig(hflip_p=0.0, vflip_p=0.0)
+
+
+def image_scale(dtype_str: str, normalize: str = "reference") -> float:
+    """Scalar multiplier applied to raw tile values before the network."""
+    if normalize == "reference":
+        return 1.0 / 255.0 if dtype_str == "int16" else 1.0
+    if normalize == "unit":
+        return 1.0 / 65535.0 if dtype_str == "int16" else 1.0 / 255.0
+    raise ValueError(f"Unknown normalize mode {normalize!r} (reference|unit)")
+
+
+def value_max(dtype_str: str, normalize: str = "reference") -> float:
+    """Upper end of the post-scaling value range (for brightness offsets)."""
+    if normalize == "unit":
+        return 1.0
+    return 257.0 if dtype_str == "int16" else 255.0
+
+
+def n_augmented(batch_size: int, n_transform_imgs: float, reference_quirks: bool = False) -> int:
+    if not (0 <= n_transform_imgs <= 1):
+        raise ValueError(
+            f"The n_transform_imgs parameter ({n_transform_imgs}) must be between 1 and 0."
+        )
+    n = math.ceil(batch_size * n_transform_imgs)
+    if reference_quirks and n >= batch_size:
+        return 0  # utils.py:255: slice [:ceil(B·1)-B] == [:0]
+    return min(n, batch_size)
+
+
+@partial(jax.jit, static_argnames=("cfg", "n_aug", "max_val"))
+def _augment(
+    key: Array,
+    images: Array,
+    masks: Optional[Array],
+    cfg: AugmentConfig,
+    n_aug: int,
+    max_val: float,
+) -> Tuple[Array, Optional[Array]]:
+    b, h, w, _c = images.shape
+    in_range = (jnp.arange(b) < n_aug)
+    keys = jax.random.split(key, 4)
+
+    def gate(k, p):
+        return in_range & (jax.random.uniform(k, (b,)) < p)
+
+    if cfg.hflip_p > 0:
+        f = gate(keys[0], cfg.hflip_p)
+        images = jnp.where(f[:, None, None, None], jnp.flip(images, axis=2), images)
+        if masks is not None:
+            masks = jnp.where(f[:, None, None], jnp.flip(masks, axis=2), masks)
+    if cfg.vflip_p > 0:
+        f = gate(keys[1], cfg.vflip_p)
+        images = jnp.where(f[:, None, None, None], jnp.flip(images, axis=1), images)
+        if masks is not None:
+            masks = jnp.where(f[:, None, None], jnp.flip(masks, axis=1), masks)
+
+    if cfg.brightness_contrast_p > 0:
+        k_a, k_b, k_g = jax.random.split(keys[2], 3)
+        f = gate(k_g, cfg.brightness_contrast_p)
+        alpha = 1.0 + jax.random.uniform(
+            k_a, (b,), minval=cfg.contrast_limit[0], maxval=cfg.contrast_limit[1]
+        )
+        beta = jax.random.uniform(
+            k_b, (b,), minval=cfg.brightness_limit[0], maxval=cfg.brightness_limit[1]
+        )
+        adjusted = images * alpha[:, None, None, None] + (beta * max_val)[:, None, None, None]
+        images = jnp.where(f[:, None, None, None], adjusted, images)
+
+    if cfg.coarse_dropout_p > 0:
+        k_g, k_pos = jax.random.split(keys[3])
+        f = gate(k_g, cfg.coarse_dropout_p)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 1)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (b, h, w), 2)
+        keep = jnp.ones((b, h, w), bool)
+        pos = jax.random.randint(
+            k_pos, (cfg.dropout_holes, 2, b), 0,
+            jnp.array([max(h - cfg.dropout_size, 1), max(w - cfg.dropout_size, 1)])[:, None],
+        )
+        for i in range(cfg.dropout_holes):
+            r0 = pos[i, 0][:, None, None]
+            c0 = pos[i, 1][:, None, None]
+            hole = (rows >= r0) & (rows < r0 + cfg.dropout_size) & \
+                   (cols >= c0) & (cols < c0 + cfg.dropout_size)
+            keep &= ~hole
+        keep = jnp.where(f[:, None, None], keep, True)
+        images = images * keep[..., None].astype(images.dtype)
+
+    return images, masks
+
+
+def augment_batch(
+    key: Array,
+    images: Array,
+    masks: Optional[Array],
+    cfg: AugmentConfig,
+    n_transform_imgs: float = 1.0,
+    dtype_str: str = "int8",
+    normalize: str = "reference",
+    split: str = "train",
+    split_idx: Optional[int] = 0,
+    reference_quirks: bool = False,
+) -> Tuple[Array, Optional[Array]]:
+    """Scale + (conditionally) augment one device batch.
+
+    ``images``: (B,H,W,C) raw tile values as float32. Scaling is always
+    applied; geometric/photometric augmentation only when ``split`` matches
+    ``split_idx`` (0=train, 1=valid, None=both).
+    """
+    scale = image_scale(dtype_str, normalize)
+    n_aug = n_augmented(images.shape[0], n_transform_imgs, reference_quirks)
+    active = split_idx is None or (split_idx == 0 and split == "train") or (
+        split_idx == 1 and split == "valid"
+    )
+    if reference_quirks and dtype_str == "int16" and active and n_aug > 0:
+        # reference scales augmented int16 images by 255/65535 instead of
+        # 1/255 (utils.py:264 vs :288) — a 0.8% mismatch it trains with
+        quirk = (255.0 / 65535.0) / scale
+        per_img = jnp.where(jnp.arange(images.shape[0]) < n_aug, scale * quirk, scale)
+        images = images * per_img[:, None, None, None]
+    else:
+        images = images * scale
+    if not active or n_aug == 0:
+        return images, masks
+    return _augment(key, images, masks, cfg, n_aug, value_max(dtype_str, normalize))

@@ -1,0 +1,113 @@
+"""Host-side batched tile loader with threaded prefetch.
+
+The reference loads tiles synchronously on a single thread
+(``num_workers=0`` everywhere — train.py:345, utils.py:109) and pays a
+per-batch host stall. Here tile decode runs in a thread pool and whole
+batches are prefetched ahead of the device (decode overlaps the TPU step),
+producing NHWC float32 numpy batches ready for ``jax.device_put`` onto a
+sharded mesh.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+import threading
+from collections import deque
+from pathlib import Path
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .dataset import TileDataset
+
+Batch = Tuple[np.ndarray, Optional[np.ndarray], int]  # images, masks, n_valid
+
+
+class TileLoader:
+    """Iterates (images NHWC, masks BHW, n_valid) batches.
+
+    Training: shuffled, incomplete final batch dropped (fastai train
+    DataLoader semantics). Validation/prediction: ordered, final batch
+    padded by repeating the last tile; ``n_valid`` tells the consumer how
+    many samples are real so metrics stay exact.
+    """
+
+    def __init__(
+        self,
+        dataset: TileDataset,
+        files: Sequence[Path],
+        batch_size: int,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        seed: int = 0,
+        n_threads: int = 8,
+        prefetch: int = 2,
+        with_masks: bool = True,
+    ):
+        self.dataset = dataset
+        self.files = list(files)
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.rng = np.random.default_rng(seed)
+        self.n_threads = n_threads
+        self.prefetch = prefetch
+        self.with_masks = with_masks
+        self._pool = cf.ThreadPoolExecutor(max_workers=n_threads)
+        self._epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.files)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _load_one(self, path: Path):
+        if self.with_masks:
+            img, msk = self.dataset.load_pair(path)
+        else:
+            img, msk = self.dataset.load_image(path), None
+        return np.moveaxis(img, 0, 2), msk  # CHW → HWC
+
+    def _make_batch(self, paths: List[Path]) -> Batch:
+        pairs = list(self._pool.map(self._load_one, paths))
+        n_valid = len(pairs)
+        while len(pairs) < self.batch_size:  # pad final eval batch
+            pairs.append(pairs[-1])
+        images = np.stack([p[0] for p in pairs])
+        masks = np.stack([p[1] for p in pairs]) if self.with_masks else None
+        return images, masks, n_valid
+
+    def __iter__(self) -> Iterator[Batch]:
+        order = np.arange(len(self.files))
+        if self.shuffle:
+            order = self.rng.permutation(order)
+        self._epoch += 1
+        batches: List[List[Path]] = []
+        for i in range(0, len(order), self.batch_size):
+            idx = order[i : i + self.batch_size]
+            if self.drop_last and len(idx) < self.batch_size:
+                break
+            batches.append([self.files[j] for j in idx])
+
+        # pipeline: keep `prefetch` batch-builds in flight
+        inflight: deque = deque()
+        it = iter(batches)
+        for _ in range(self.prefetch):
+            try:
+                inflight.append(self._pool.submit(self._make_batch, next(it)))
+            except StopIteration:
+                break
+        while inflight:
+            fut = inflight.popleft()
+            try:
+                inflight.append(self._pool.submit(self._make_batch, next(it)))
+            except StopIteration:
+                pass
+            yield fut.result()
+
+    def one_batch(self) -> Batch:
+        return next(iter(self))
+
+    def close(self):
+        self._pool.shutdown(wait=False)
