@@ -1,0 +1,140 @@
+"""End-to-end training tests on a tiny synthetic fixture.
+
+The learnability test is the key one: a from-scratch xresnet18 DynamicUnet
+must fit a trivially separable segmentation task in a few epochs — this
+exercises model, augmentation, losses, one-cycle optimizer, metrics, best-
+model tracking and export together.
+"""
+
+import numpy as np
+import pytest
+
+from unet_tpu.geo import write_raster
+from unet_tpu.train import Trainer, TrainerConfig, load_bundle, train_model
+
+T = (500000.0, 0.2, 0.0, 5400000.0, 0.0, -0.2)
+
+
+def make_fixture(root, rng, n_train=8, n_valid=4, size=32, bands=3):
+    """Tiles where class = 1 iff red band is bright: trivially learnable."""
+    for scene, n in (("trai", n_train), ("vali", n_valid)):
+        (root / scene / "img_tiles").mkdir(parents=True, exist_ok=True)
+        (root / scene / "mask_tiles").mkdir(parents=True, exist_ok=True)
+        for i in range(n):
+            img = rng.integers(0, 100, size=(bands, size, size)).astype(np.uint8)
+            bright = rng.random(size=(size, size)) < 0.5
+            img[0][bright] = 200 + rng.integers(0, 55, size=bright.sum())
+            msk = bright.astype(np.uint8)[None]
+            write_raster(root / scene / "img_tiles" / f"t_{i}.tif", img, transform=T)
+            write_raster(root / scene / "mask_tiles" / f"t_{i}.tif", msk, transform=T)
+    return root
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("seg_fixture")
+    return make_fixture(root, np.random.default_rng(7))
+
+
+def small_cfg(fixture_dir, model_dir, **kw):
+    defaults = dict(
+        data_path=fixture_dir,
+        model_path=model_dir,
+        description="tiny",
+        batch_size=4,
+        epochs=3,
+        lr=2e-3,
+        arch="xresnet18",
+        codes=["bg", "fg"],
+        bf16=False,
+        seed=0,
+    )
+    defaults.update(kw)
+    return TrainerConfig(**defaults)
+
+
+class TestTrainer:
+    def test_learns_separable_task(self, fixture_dir, tmp_path):
+        cfg = small_cfg(fixture_dir, tmp_path)
+        trainer = Trainer(cfg)
+        state, history = trainer.fit()
+        assert len(history) == 3
+        dices = [h["dice_multi"] for h in history]
+        assert dices[-1] > 0.85, f"model failed to learn: dice={dices}"
+        assert history[-1]["valid_loss"] < history[0]["valid_loss"] * 1.5
+
+    def test_export_and_reload_bundle(self, fixture_dir, tmp_path):
+        cfg = small_cfg(fixture_dir, tmp_path, epochs=1)
+        bundle = train_model(cfg)
+        assert (bundle / "tiny.json").exists()
+        assert (bundle / "tiny.msgpack").exists()
+        assert (bundle / "best-model.msgpack").exists()
+        assert (bundle / "tiny_history.csv").exists()
+        model, variables, manifest = load_bundle(bundle)
+        assert manifest["ARCHITECTURE"] == "xresnet18"
+        assert manifest["CODES"] == ["bg", "fg"]
+        import jax.numpy as jnp
+
+        y = model.apply(variables, jnp.zeros((1, 32, 32, 3)), train=False)
+        assert y.shape == (1, 32, 32, 2)
+        hist = (bundle / "tiny_history.csv").read_text().splitlines()
+        assert hist[0].startswith("epoch,train_loss,valid_loss,dice_multi,time")
+
+    def test_transfer_learning_from_bundle(self, fixture_dir, tmp_path):
+        cfg = small_cfg(fixture_dir, tmp_path / "a", epochs=1)
+        bundle = train_model(cfg)
+        cfg2 = small_cfg(fixture_dir, tmp_path / "b", epochs=1,
+                         existing_model=str(bundle / "tiny.msgpack"))
+        t2 = Trainer(cfg2)
+        state, history = t2.fit()
+        assert len(history) == 1
+
+    def test_regression_mode(self, fixture_dir, tmp_path, rng):
+        # regression fixture: float mask = band0 / 255
+        root = tmp_path / "regr"
+        for scene, n in (("trai", 8), ("vali", 4)):
+            (root / scene / "img_tiles").mkdir(parents=True)
+            (root / scene / "mask_tiles").mkdir(parents=True)
+            for i in range(n):
+                img = rng.integers(0, 255, size=(3, 32, 32)).astype(np.uint8)
+                msk = (img[0] / 255.0).astype(np.float32)[None]
+                write_raster(root / scene / "img_tiles" / f"t_{i}.tif", img, transform=T)
+                write_raster(root / scene / "mask_tiles" / f"t_{i}.tif", msk, transform=T)
+        cfg = small_cfg(root, tmp_path / "m", epochs=2, regression=True, lr=3e-3)
+        trainer = Trainer(cfg)
+        state, history = trainer.fit()
+        assert "r2_score" in history[0] and "rmse" in history[0]
+        assert history[-1]["rmse"] < 0.4
+
+    def test_monitor_valid_loss_tracks_best(self, fixture_dir, tmp_path):
+        cfg = small_cfg(fixture_dir, tmp_path, epochs=2, monitor="valid_loss")
+        trainer = Trainer(cfg)
+        assert trainer.monitor == "valid_loss"
+        state, history = trainer.fit()
+        assert trainer._best_vars is not None
+
+    def test_weighted_class_weights_path(self, fixture_dir, tmp_path):
+        cfg = small_cfg(fixture_dir, tmp_path, epochs=1, class_weights="weighted")
+        trainer = Trainer(cfg)
+        assert len(trainer.class_weights) == 2
+        assert all(w > 0 for w in trainer.class_weights)
+
+    def test_lr_finder(self, fixture_dir, tmp_path):
+        cfg = small_cfg(fixture_dir, tmp_path, epochs=1)
+        trainer = Trainer(cfg)
+        lr = trainer.lr_find("valley", num_it=30)
+        assert 1e-8 < lr < 10.0
+
+    def test_resume_from_checkpoint(self, fixture_dir, tmp_path):
+        cfg = small_cfg(fixture_dir, tmp_path, epochs=2, checkpoint_every=1)
+        trainer = Trainer(cfg)
+        state, _ = trainer.fit()
+        # new trainer resumes at epoch 2 → no additional epochs run
+        cfg2 = small_cfg(fixture_dir, tmp_path, epochs=2, checkpoint_every=1, resume=True)
+        t2 = Trainer(cfg2)
+        state2, history2 = t2.fit()
+        assert len(history2) == 0  # already complete
+
+    def test_batch_size_exceeding_tiles_raises(self, fixture_dir, tmp_path):
+        with pytest.raises(ValueError, match="batch_size"):
+            Trainer(small_cfg(fixture_dir, tmp_path, batch_size=64))

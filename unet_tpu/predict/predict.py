@@ -1,0 +1,192 @@
+"""Batched tile prediction with georeferenced outputs.
+
+TPU-native rebuild of predict.py:146-357 ``save_predictions``. The
+reference predicts one tile at a time with a host↔device round trip per
+tile (``learn.predict``, predict.py:193 — its biggest throughput sink,
+SURVEY.md §3.3); here tiles stream through a threaded loader into jitted
+batched forward passes sharded across the device mesh, and the mosaic
+accumulates incrementally instead of holding every tile's probabilities in
+RAM (predict.py:220).
+
+Output modes (identical surface):
+* default         → argmax class map, uint8
+* ``all_classes`` → full per-class probability stack, float32
+* ``specific_class=k`` → class-k probability band, float32
+* ``regression``  → predicted value map, float32
+* ``large_file``  → probabilities stretched to int8 (× 31,
+  predict.py:217-219, 245-249)
+* ``merge``       → overlap-averaged mosaic named
+  ``{AOI}_{year}_{model}_prediction.tif`` (predict.py:258-357)
+* ``class_zero``  → 0 → nodata, classes decremented on write
+  (predict.py:32-35)
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from pathlib import Path
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.augment import image_scale
+from ..geo import read_raster, write_raster
+from ..geo import tiff as tiff_codec
+from ..parallel.mesh import make_mesh, replicate_tree, shard_batch
+from ..train.checkpoint import load_bundle
+from .merge import MosaicAccumulator, tile_extent_info
+
+
+def _apply_class_zero(arr: np.ndarray, nodata: Optional[float]) -> np.ndarray:
+    """store_tif's class_zero handling (predict.py:32-35): 0 → nodata,
+    other classes decremented."""
+    fill = nodata if nodata is not None else 0
+    return np.where(arr == 0, fill, arr - 1)
+
+
+@partial(jax.jit, static_argnames=("regression",))
+def _forward_probs(model_apply_vars, images, regression: bool):
+    model, variables = model_apply_vars
+    logits = model.apply(variables, images, train=False)
+    if regression:
+        return logits[..., 0:1]  # (B,H,W,1) predicted values
+    return jax.nn.softmax(logits, axis=-1)
+
+
+class Predictor:
+    """Loads a model bundle and predicts batches of equally-sized tiles."""
+
+    def __init__(self, bundle: str, batch_size: int = 16, devices=None):
+        self.model, self.variables, self.manifest = load_bundle(bundle, best=False)
+        self.regression = bool(self.manifest.get("enable_regression", False))
+        self.dtype_str = self.manifest.get("dtype_str", "int8")
+        self.normalize = self.manifest.get("normalize", "reference")
+        self.scale = image_scale(self.dtype_str, self.normalize)
+        devices = devices or jax.devices()
+        n = len(devices)
+        while n > 1 and batch_size % n:
+            n -= 1
+        self.mesh = make_mesh(devices[:n])
+        self.variables = replicate_tree(self.mesh, self.variables)
+        self.batch_size = batch_size
+        self._jit_forward = None
+
+    def predict_batch(self, images: np.ndarray) -> np.ndarray:
+        """(B,H,W,C) raw tile values → (B,H,W,n_out) probabilities/values."""
+        x = shard_batch(self.mesh, images.astype(np.float32) * self.scale)
+        if self._jit_forward is None:
+            model = self.model
+            regression = self.regression
+
+            @jax.jit
+            def fwd(variables, x):
+                logits = model.apply(variables, x, train=False)
+                return logits[..., 0:1] if regression else jax.nn.softmax(logits, axis=-1)
+
+            self._jit_forward = fwd
+        return np.asarray(self._jit_forward(self.variables, x))
+
+
+def save_predictions(
+    predict_model: str,
+    predict_path: str,
+    regression: bool = False,
+    merge: bool = False,
+    all_classes: bool = False,
+    specific_class: Optional[int] = None,
+    large_file: bool = False,
+    AOI: Optional[str] = None,
+    year: Optional[str] = None,
+    validation_vision: bool = False,
+    class_zero: bool = False,
+    batch_size: int = 16,
+    devices=None,
+) -> Path:
+    """Predict every ``*.tif`` tile under ``predict_path``.
+
+    Returns the output folder (tiles mode) or mosaic path (merge mode).
+    """
+    predictor = Predictor(predict_model, batch_size=batch_size, devices=devices)
+    if regression != predictor.regression:
+        regression = predictor.regression
+
+    path = Path(predict_path)
+    model_name = Path(predict_model).stem
+    if not merge:
+        output_folder = path.parent / ("predicted_tiles_" + model_name)
+    else:
+        output_folder = path.parent
+    output_folder.mkdir(parents=True, exist_ok=True)
+
+    tiles = sorted(path.glob("*.tif"))
+    if not tiles:
+        raise FileNotFoundError(f"No .tif tiles under {path}")
+    print(f"Started at: {time.strftime('%H:%M:%S')} — {len(tiles)} tiles")
+
+    accumulator: Optional[MosaicAccumulator] = None
+    if merge:
+        infos = [tile_extent_info(str(t)) for t in tiles]
+        accumulator = MosaicAccumulator(infos, large_file=large_file)
+
+    bs = predictor.batch_size
+    for start in range(0, len(tiles), bs):
+        chunk = tiles[start : start + bs]
+        rasters = [read_raster(t) for t in chunk]
+        batch = np.stack([np.moveaxis(r.data.astype(np.float32), 0, 2) for r in rasters])
+        if len(chunk) < bs:  # pad final batch
+            pad = np.repeat(batch[-1:], bs - len(chunk), axis=0)
+            batch = np.concatenate([batch, pad], axis=0)
+        probs = predictor.predict_batch(batch)[: len(chunk)]  # (b,H,W,C)
+
+        for tile_path, raster, p in zip(chunk, rasters, probs):
+            class_stack = np.moveaxis(p, 2, 0)  # (C,H,W)
+            if merge:
+                if large_file and class_stack.max() <= 1:
+                    class_stack = np.around(class_stack * ((128 / 4) - 1)).astype(np.int8)
+                accumulator.add(class_stack, str(tile_path))
+                continue
+
+            if regression:
+                out = class_stack  # predicted value map
+            elif all_classes:
+                out = class_stack
+            elif specific_class is None:
+                out = class_stack.argmax(axis=0).astype(np.uint8)
+            else:
+                out = class_stack[specific_class]
+
+            if large_file and np.max(class_stack) <= 1 and (all_classes or specific_class is not None):
+                out = np.around(np.asarray(out) * ((128 / 4) - 1)).astype(np.int8)
+
+            if class_zero:
+                out = _apply_class_zero(np.asarray(out), None).astype(
+                    out.dtype if hasattr(out, "dtype") else np.uint8
+                )
+            write_raster(
+                output_folder / tile_path.name, np.asarray(out),
+                transform=raster.transform, crs=raster.crs,
+            )
+
+    if validation_vision and not merge and not regression:
+        from .figures import plot_valid_predict
+
+        plot_valid_predict(str(output_folder), str(path), regression, merge, class_zero)
+
+    if merge:
+        mosaic, transform, nodata = accumulator.finalize(
+            regression=regression,
+            all_classes=all_classes,
+            specific_class=specific_class,
+        )
+        if class_zero:
+            mosaic = _apply_class_zero(mosaic, nodata)
+        name = "_".join(filter(None, [AOI, year, model_name, "prediction"])) + ".tif"
+        out_file = output_folder / name
+        write_raster(out_file, mosaic, transform=transform,
+                     crs=accumulator.crs, nodata=nodata)
+        print(f"Prediction stored in {output_folder}.")
+        return out_file
+    return output_folder

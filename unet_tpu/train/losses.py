@@ -22,25 +22,36 @@ import jax.numpy as jnp
 Array = jax.Array
 
 
+def _pixel_mask(shape, sample_mask: Optional[Array]) -> Array:
+    """Broadcast a per-sample validity mask (B,) to pixel shape (B,H,W,...)."""
+    if sample_mask is None:
+        return jnp.ones(shape, jnp.float32)
+    extra = (1,) * (len(shape) - 1)
+    return jnp.broadcast_to(
+        sample_mask.astype(jnp.float32).reshape(-1, *extra), shape
+    )
+
+
 def cross_entropy(
-    logits: Array, targets: Array, weight: Optional[Array] = None
+    logits: Array, targets: Array, weight: Optional[Array] = None,
+    sample_mask: Optional[Array] = None,
 ) -> Array:
     """torch ``F.cross_entropy(..., weight, reduction='mean')``.
 
     Weighted mean = sum(w[y] * nll) / sum(w[y]) — torch semantics the
     reference relies on via CrossEntropyLossFlat(axis=1, weight=...)
-    (train.py:195).
+    (train.py:195). ``sample_mask`` excludes padded eval samples.
     """
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32), axis=-1)[..., 0]
-    if weight is None:
-        return jnp.mean(nll)
-    w = weight[targets.astype(jnp.int32)]
+    m = _pixel_mask(nll.shape, sample_mask)
+    w = m if weight is None else weight[targets.astype(jnp.int32)] * m
     return jnp.sum(w * nll) / jnp.sum(w)
 
 
 def focal_loss(
-    logits: Array, targets: Array, gamma: float = 2.0, weight: Optional[Array] = None
+    logits: Array, targets: Array, gamma: float = 2.0, weight: Optional[Array] = None,
+    sample_mask: Optional[Array] = None,
 ) -> Array:
     """fastai FocalLoss: ``((1 - exp(-ce))**gamma * ce).mean()`` with
     per-element weighted CE (reduction='none' then plain mean)."""
@@ -49,26 +60,34 @@ def focal_loss(
     if weight is not None:
         nll = nll * weight[targets.astype(jnp.int32)]
     p_t = jnp.exp(-nll)
-    return jnp.mean((1.0 - p_t) ** gamma * nll)
+    m = _pixel_mask(nll.shape, sample_mask)
+    return jnp.sum((1.0 - p_t) ** gamma * nll * m) / jnp.sum(m)
 
 
-def mse_loss(preds: Array, targets: Array) -> Array:
+def _masked_mean(vals: Array, sample_mask: Optional[Array]) -> Array:
+    m = _pixel_mask(vals.shape, sample_mask)
+    return jnp.sum(vals * m) / jnp.sum(m)
+
+
+def mse_loss(preds: Array, targets: Array, sample_mask: Optional[Array] = None) -> Array:
     """MSELossFlat (train.py:191)."""
-    return jnp.mean((preds.astype(jnp.float32) - targets.astype(jnp.float32)) ** 2)
+    return _masked_mean((preds.astype(jnp.float32) - targets.astype(jnp.float32)) ** 2, sample_mask)
 
 
-def l1_loss(preds: Array, targets: Array) -> Array:
-    return jnp.mean(jnp.abs(preds.astype(jnp.float32) - targets.astype(jnp.float32)))
+def l1_loss(preds: Array, targets: Array, sample_mask: Optional[Array] = None) -> Array:
+    return _masked_mean(jnp.abs(preds.astype(jnp.float32) - targets.astype(jnp.float32)), sample_mask)
 
 
-def smooth_l1_loss(preds: Array, targets: Array, beta: float = 0.5) -> Array:
+def smooth_l1_loss(preds: Array, targets: Array, beta: float = 0.5,
+                   sample_mask: Optional[Array] = None) -> Array:
     """utils.py:145-147 ``Smoothl1`` (torch SmoothL1Loss with beta=0.5)."""
     d = jnp.abs(preds.astype(jnp.float32) - targets.astype(jnp.float32))
-    return jnp.mean(jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta))
+    return _masked_mean(jnp.where(d < beta, 0.5 * d * d / beta, d - 0.5 * beta), sample_mask)
 
 
 def dice_loss(
-    logits: Array, targets: Array, smooth: float = 1e-6, square_in_union: bool = False
+    logits: Array, targets: Array, smooth: float = 1e-6, square_in_union: bool = False,
+    sample_mask: Optional[Array] = None,
 ) -> Array:
     """fastai DiceLoss (reduction='sum' default): softmax probabilities,
     per-(sample, class) dice over spatial dims, summed."""
@@ -82,7 +101,10 @@ def dice_loss(
     else:
         union = jnp.sum(probs + onehot, axis=(1, 2))
     dice = (2.0 * inter + smooth) / (union + smooth)
-    return jnp.sum(1.0 - dice)
+    loss = 1.0 - dice
+    if sample_mask is not None:
+        loss = loss * sample_mask.astype(jnp.float32)[:, None]
+    return jnp.sum(loss)
 
 
 LOSSES: dict = {
@@ -108,9 +130,9 @@ def build_loss(
         name = "mse" if regression else "cross_entropy"
     name = name.lower()
     if name in ("cross_entropy", "crossentropylossflat", "ce"):
-        return lambda lg, t: cross_entropy(lg, t, weight)
+        return lambda lg, t, sample_mask=None: cross_entropy(lg, t, weight, sample_mask)
     if name in ("focal", "focallossflat"):
-        return lambda lg, t: focal_loss(lg, t, gamma, weight)
+        return lambda lg, t, sample_mask=None: focal_loss(lg, t, gamma, weight, sample_mask)
     if name in ("mse", "mselossflat"):
         return mse_loss
     if name in ("l1", "l1lossflat"):

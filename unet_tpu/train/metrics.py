@@ -28,16 +28,23 @@ def dice_multi_init(n_classes: int) -> Dict[str, Array]:
     }
 
 
-def dice_multi_update(state: Dict[str, Array], logits: Array, targets: Array) -> Dict[str, Array]:
+def dice_multi_update(
+    state: Dict[str, Array], logits: Array, targets: Array, sample_mask: Array = None
+) -> Dict[str, Array]:
     """Accumulate per-class intersection/union of argmax predictions.
 
     fastai DiceMulti: inter = |pred∩targ|, union = |pred|+|targ| per class,
-    summed over the epoch; value = nanmean(2·inter/union).
+    summed over the epoch; value = nanmean(2·inter/union). ``sample_mask``
+    excludes padded eval samples.
     """
     n_c = state["inter"].shape[0]
     pred = jnp.argmax(logits, axis=-1)
     pred1 = jax.nn.one_hot(pred, n_c, dtype=jnp.float32)
     targ1 = jax.nn.one_hot(targets.astype(jnp.int32), n_c, dtype=jnp.float32)
+    if sample_mask is not None:
+        m = sample_mask.astype(jnp.float32).reshape(-1, *([1] * (pred1.ndim - 1)))
+        pred1 = pred1 * m
+        targ1 = targ1 * m
     axes = tuple(range(pred1.ndim - 1))
     inter = jnp.sum(pred1 * targ1, axis=axes)
     union = jnp.sum(pred1, axis=axes) + jnp.sum(targ1, axis=axes)
@@ -67,15 +74,23 @@ def regression_init() -> Dict[str, Array]:
     }
 
 
-def regression_update(state: Dict[str, Array], preds: Array, targets: Array) -> Dict[str, Array]:
-    p = preds.astype(jnp.float32).ravel()
-    y = targets.astype(jnp.float32).ravel()
+def regression_update(
+    state: Dict[str, Array], preds: Array, targets: Array, sample_mask: Array = None
+) -> Dict[str, Array]:
+    p = preds.astype(jnp.float32)
+    y = targets.astype(jnp.float32)
+    if sample_mask is not None:
+        m = sample_mask.astype(jnp.float32).reshape(-1, *([1] * (y.ndim - 1)))
+        m = jnp.broadcast_to(m, y.shape).ravel()
+    else:
+        m = jnp.ones(y.size, jnp.float32)
+    p, y = p.ravel(), y.ravel()
     return {
-        "sse": state["sse"] + jnp.sum((p - y) ** 2),
-        "sae": state["sae"] + jnp.sum(jnp.abs(p - y)),
-        "sum_y": state["sum_y"] + jnp.sum(y),
-        "sum_y2": state["sum_y2"] + jnp.sum(y * y),
-        "count": state["count"] + y.size,
+        "sse": state["sse"] + jnp.sum(m * (p - y) ** 2),
+        "sae": state["sae"] + jnp.sum(m * jnp.abs(p - y)),
+        "sum_y": state["sum_y"] + jnp.sum(m * y),
+        "sum_y2": state["sum_y2"] + jnp.sum(m * y * y),
+        "count": state["count"] + jnp.sum(m),
     }
 
 
