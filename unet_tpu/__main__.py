@@ -1,0 +1,113 @@
+"""CLI front-end: ``python -m unet_tpu <command> [args]``.
+
+The reference has no CLI — configuration is editing module constants in
+params_and_main.py. This front-end keeps that workflow (``run`` on a JSON
+config with the same field names) and adds direct subcommands.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from .api import Params, main, main_multi, params_from_json
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(prog="unet_tpu",
+                                 description="TPU-native aerial segmentation pipeline")
+    sub = ap.add_subparsers(dest="command", required=True)
+
+    run = sub.add_parser("run", help="run stages from a JSON params file")
+    run.add_argument("config", help="JSON file with Params fields")
+    run.add_argument("--multi", action="store_true", help="list-broadcast multi-run mode")
+
+    tile = sub.add_parser("tile", help="split a GeoTIFF into training tiles")
+    tile.add_argument("image")
+    tile.add_argument("--mask", default=None)
+    tile.add_argument("--base-dir", required=True)
+    tile.add_argument("--patch-size", type=int, default=400)
+    tile.add_argument("--patch-overlap", type=float, default=0.0)
+    tile.add_argument("--split", type=float, nargs="+", default=[0.8, 0.2])
+    tile.add_argument("--max-empty", type=float, default=0.9)
+    tile.add_argument("--class-zero", action="store_true")
+
+    tr = sub.add_parser("train", help="train a model on a tile dataset")
+    tr.add_argument("data_path")
+    tr.add_argument("--model-path", required=True)
+    tr.add_argument("--description", default="model")
+    tr.add_argument("--codes", nargs="+", default=["Background", "Class_1"])
+    tr.add_argument("--arch", default="xresnet34")
+    tr.add_argument("--batch-size", type=int, default=4)
+    tr.add_argument("--epochs", type=int, default=15)
+    tr.add_argument("--lr", type=float, default=1e-4)
+    tr.add_argument("--regression", action="store_true")
+    tr.add_argument("--class-weights", default="even")
+    tr.add_argument("--self-attention", action="store_true")
+    tr.add_argument("--existing-model", default=None)
+    tr.add_argument("--lr-finder", default=None)
+
+    pr = sub.add_parser("predict", help="predict tiles with a trained bundle")
+    pr.add_argument("model")
+    pr.add_argument("tiles")
+    pr.add_argument("--merge", action="store_true")
+    pr.add_argument("--regression", action="store_true")
+    pr.add_argument("--all-classes", action="store_true")
+    pr.add_argument("--specific-class", type=int, default=None)
+    pr.add_argument("--large-file", action="store_true")
+    pr.add_argument("--aoi", default=None)
+    pr.add_argument("--year", default=None)
+    pr.add_argument("--validation-vision", action="store_true")
+    pr.add_argument("--batch-size", type=int, default=16)
+
+    bench = sub.add_parser("bench", help="run the training/inference benchmark")
+    bench.add_argument("--tile", type=int, default=512)
+    bench.add_argument("--batch-size", type=int, default=8)
+    bench.add_argument("--steps", type=int, default=20)
+    return ap
+
+
+def cli(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.command == "run":
+        p = params_from_json(args.config)
+        (main_multi if args.multi else main)(p)
+    elif args.command == "tile":
+        from .tiling import split_raster
+
+        n = split_raster(args.image, args.mask, args.base_dir, args.patch_size,
+                         args.patch_overlap, args.split, args.max_empty, args.class_zero)
+        print(f"{n} tiles written to {args.base_dir}")
+    elif args.command == "train":
+        from .train.loop import TrainerConfig, train_model
+
+        cw = args.class_weights
+        if cw not in ("even", "weighted"):
+            cw = json.loads(cw)
+        out = train_model(TrainerConfig(
+            data_path=args.data_path, model_path=args.model_path,
+            description=args.description, codes=args.codes, arch=args.arch,
+            batch_size=args.batch_size, epochs=args.epochs, lr=args.lr,
+            regression=args.regression, class_weights=cw,
+            self_attention=args.self_attention, existing_model=args.existing_model,
+            lr_finder=args.lr_finder,
+        ))
+        print(f"Model bundle exported to {out}")
+    elif args.command == "predict":
+        from .predict import save_predictions
+
+        out = save_predictions(args.model, args.tiles, args.regression, args.merge,
+                               args.all_classes, args.specific_class, args.large_file,
+                               args.aoi, args.year, args.validation_vision,
+                               batch_size=args.batch_size)
+        print(f"Predictions at {out}")
+    elif args.command == "bench":
+        from .bench import run_benchmark
+
+        run_benchmark(tile=args.tile, batch_size=args.batch_size, steps=args.steps)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(cli())

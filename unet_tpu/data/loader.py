@@ -18,7 +18,8 @@ from typing import Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from .dataset import TileDataset
+from .dataset import TileDataset, get_mask_path
+from ..geo import tiff as tiff_codec
 
 Batch = Tuple[np.ndarray, Optional[np.ndarray], int]  # images, masks, n_valid
 
@@ -55,6 +56,20 @@ class TileLoader:
         self.with_masks = with_masks
         self._pool = cf.ThreadPoolExecutor(max_workers=n_threads)
         self._epoch = 0
+        # native fast path: parallel C++ decode of the whole batch directly
+        # into the NHWC buffer (the GDAL-equivalent native layer)
+        self._tile_shape: Optional[Tuple[int, int, int]] = None
+        self._native = None
+        if self.files:
+            try:
+                from .. import native
+
+                if native.available():
+                    info = tiff_codec.read_info(str(self.files[0]))
+                    self._tile_shape = (info.height, info.width, info.bands)
+                    self._native = native
+            except Exception:
+                self._native = None
 
     def __len__(self) -> int:
         n = len(self.files)
@@ -70,12 +85,31 @@ class TileLoader:
         return np.moveaxis(img, 0, 2), msk  # CHW → HWC
 
     def _make_batch(self, paths: List[Path]) -> Batch:
+        if self._native is not None:
+            try:
+                return self._make_batch_native(paths)
+            except RuntimeError:
+                self._native = None  # permanent fallback to Python codec
         pairs = list(self._pool.map(self._load_one, paths))
         n_valid = len(pairs)
         while len(pairs) < self.batch_size:  # pad final eval batch
             pairs.append(pairs[-1])
         images = np.stack([p[0] for p in pairs])
         masks = np.stack([p[1] for p in pairs]) if self.with_masks else None
+        return images, masks, n_valid
+
+    def _make_batch_native(self, paths: List[Path]) -> Batch:
+        h, w, c = self._tile_shape
+        n_valid = len(paths)
+        full = list(paths) + [paths[-1]] * (self.batch_size - n_valid)
+        images = self._native.decode_batch(full, h, w, c, self.n_threads)
+        masks = None
+        if self.with_masks:
+            mask_paths = [get_mask_path(p) for p in full]
+            if self.dataset.regression:
+                masks = self._native.decode_batch(mask_paths, h, w, 1, self.n_threads)[..., 0]
+            else:
+                masks = self._native.decode_masks(mask_paths, h, w, self.n_threads)
         return images, masks, n_valid
 
     def __iter__(self) -> Iterator[Batch]:

@@ -1,0 +1,116 @@
+"""ctypes bindings for the native tile decoder (tiffdec.cpp).
+
+Builds ``libunet_native.so`` on first import if a C++ toolchain is present
+(g++ + zlib headers are baked into this image); every entry point degrades
+gracefully to the pure-Python codec when the native library is unavailable,
+so the framework never hard-depends on the build step.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+_HERE = Path(__file__).parent
+_LIB_PATH = _HERE / "libunet_native.so"
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    src = _HERE / "tiffdec.cpp"
+    if not src.exists():
+        return False
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-fPIC", "-std=c++17", "-shared",
+             str(src), "-o", str(_LIB_PATH), "-lz", "-lpthread"],
+            check=True, capture_output=True, timeout=120,
+        )
+        return _LIB_PATH.exists()
+    except Exception:
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The native library, building it on demand; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if os.environ.get("UNET_TPU_NO_NATIVE"):
+        return None
+    if not _LIB_PATH.exists() and not _build():
+        return None
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.unet_decode_batch.restype = ctypes.c_int
+        lib.unet_decode_batch.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_float), ctypes.c_longlong,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        lib.unet_decode_masks.restype = ctypes.c_int
+        lib.unet_decode_masks.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.c_longlong,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        ]
+        _lib = lib
+    except OSError:
+        _lib = None
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def _paths_array(paths: List) -> "ctypes.Array":
+    arr = (ctypes.c_char_p * len(paths))()
+    arr[:] = [str(p).encode() for p in paths]
+    return arr
+
+
+def decode_batch(paths: List, height: int, width: int, channels: int,
+                 n_threads: int = 0, out: Optional[np.ndarray] = None) -> np.ndarray:
+    """Decode equally-sized tiles into an (N,H,W,C) float32 batch in
+    parallel native threads. Raises on failure (caller falls back)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native decoder unavailable")
+    n = len(paths)
+    if out is None:
+        out = np.empty((n, height, width, channels), np.float32)
+    stride = height * width * channels
+    rc = lib.unet_decode_batch(
+        _paths_array(paths), n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), stride,
+        height, width, channels, n_threads,
+    )
+    if rc != 0:
+        raise RuntimeError(f"native decode failed on tile {rc - 1}: {paths[rc - 1]}")
+    return out
+
+
+def decode_masks(paths: List, height: int, width: int,
+                 n_threads: int = 0, out: Optional[np.ndarray] = None) -> np.ndarray:
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native decoder unavailable")
+    n = len(paths)
+    if out is None:
+        out = np.empty((n, height, width), np.int32)
+    rc = lib.unet_decode_masks(
+        _paths_array(paths), n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int)), height * width,
+        height, width, n_threads,
+    )
+    if rc != 0:
+        raise RuntimeError(f"native mask decode failed on tile {rc - 1}: {paths[rc - 1]}")
+    return out

@@ -1,0 +1,84 @@
+"""Plot helpers: batch histograms, loss curves with min annotation.
+
+Ports of utils.py:58-69 ``annot_min``, utils.py:120-143 ``visualize_data``
+and the loss-plot assembly at train.py:253-281.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import matplotlib
+
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt  # noqa: E402
+import numpy as np  # noqa: E402
+
+
+def annot_min(y: Sequence[float], ax=None) -> None:
+    """Arrow annotation at the lowest loss (utils.py:58-69)."""
+    y = np.asarray(y)
+    xmin = int(np.argmin(y))
+    ymin = float(np.min(y))
+    text = f"Lowest Loss={ymin:.2f}, Ep. {xmin}"
+    if not ax:
+        ax = plt.gca()
+    bbox_props = dict(boxstyle="square,pad=0.3", fc="w", ec="k", lw=0.72)
+    arrowprops = dict(arrowstyle="->", connectionstyle="angle,angleA=0,angleB=120")
+    kw = dict(xycoords="data", textcoords="axes fraction",
+              arrowprops=arrowprops, bbox=bbox_props, ha="left", va="top")
+    ax.annotate(text, xy=(xmin, ymin), xytext=(0.06, 0.96), **kw)
+
+
+def visualize_data(inputs: np.ndarray, model_path) -> Path:
+    """Per-band histograms of a sample batch (utils.py:120-143): image
+    batches get a ``*_image_plot.png``, mask batches ``*_mask_plot.png``."""
+    inputs = np.asarray(inputs)
+    is_image = inputs.ndim == 4
+    n_bands = inputs.shape[-1] if is_image else 1
+    fig, axes = plt.subplots(nrows=2, ncols=max(n_bands, 1), sharey="row", figsize=(10, 10))
+    if is_image and n_bands > 1:
+        for band in range(n_bands):
+            band_data = inputs[..., band].ravel()
+            axes[0, band].hist(band_data[band_data > 0], bins=255)
+            axes[0, band].set_title(f"Band {band + 1}")
+            axes[1, band].hist(band_data[band_data > 0], bins=255, range=(0, 1))
+        plt.suptitle("Image batch example histogram")
+        out = Path(str(model_path).rsplit(".", 1)[0] + "_image_plot.png")
+    else:
+        flat = inputs.ravel()
+        ax0 = axes[0] if np.ndim(axes) == 1 else axes[0, 0]
+        ax1 = axes[1] if np.ndim(axes) == 1 else axes[1, 0]
+        ax0.hist(flat, bins=255)
+        ax1.hist(flat, bins=255, range=(0, 1))
+        plt.suptitle("Mask batch example histogram")
+        out = Path(str(model_path).rsplit(".", 1)[0] + "_mask_plot.png")
+    plt.savefig(out)
+    plt.close(fig)
+    return out
+
+
+def plot_training_overview(
+    history: List[dict], monitor: str, out_path
+) -> Path:
+    """Loss plot with lowest-loss annotation (train.py:264-281)."""
+    valid_loss = [h["valid_loss"] for h in history]
+    plt.figure(figsize=(7, 7))
+    plt.plot(valid_loss, label="Validation")
+    if monitor not in ("train_loss", "valid_loss"):
+        train_loss = [h["train_loss"] for h in history]
+        plt.plot(train_loss, label="Training")
+        annot_min(train_loss)
+        plt.ylim(0, float(np.max(train_loss)) * 1.3)
+    else:
+        annot_min(valid_loss)
+        plt.ylim(0, 1.1)
+    plt.xlabel("Episode")
+    plt.ylabel("Loss")
+    plt.title("Model Training Overview")
+    plt.legend()
+    out = Path(str(out_path))
+    plt.savefig(out, dpi=200)
+    plt.close()
+    return out
