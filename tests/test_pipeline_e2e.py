@@ -1,0 +1,108 @@
+"""Full-pipeline test: GeoTIFF scene → tiles → training → batched
+prediction → georeferenced tile writes → overlap-merged mosaic → figures.
+
+This is the reference's complete params_and_main.py workflow
+(Create_tiles → Train → Predict) on a synthetic, trivially learnable scene,
+asserting georeferencing survives the whole round trip.
+"""
+
+import numpy as np
+import pytest
+
+from unet_tpu.geo import read_raster, write_raster
+from unet_tpu.predict import save_predictions
+from unet_tpu.tiling import split_raster
+from unet_tpu.train import TrainerConfig, train_model
+
+T = (500000.0, 0.5, 0.0, 5400000.0, 0.0, -0.5)
+SIZE = 128
+TILE = 32
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    """A 128² RGB scene whose class is 1 where the red band is bright."""
+    root = tmp_path_factory.mktemp("e2e")
+    rng = np.random.default_rng(11)
+    img = rng.integers(1, 100, size=(3, SIZE, SIZE)).astype(np.uint8)
+    bright = rng.random(size=(SIZE, SIZE)) < 0.5
+    img[0][bright] = 200
+    msk = (bright.astype(np.uint8) + 1)[None]  # classes 1/2, 0 stays nodata-free
+    ip, mp = root / "scene.tif", root / "mask.tif"
+    write_raster(ip, img, transform=T, crs="EPSG:25833", nodata=0)
+    write_raster(mp, msk, transform=T, crs="EPSG:25833", nodata=0)
+    return root, ip, mp
+
+
+@pytest.fixture(scope="module")
+def trained_bundle(scene):
+    root, ip, mp = scene
+    base = root / "tiles"
+    n = split_raster(str(ip), str(mp), str(base), patch_size=TILE, patch_overlap=0,
+                     split=[0.8, 0.2], max_empty=0.9, seed=3)
+    assert n == 16
+    cfg = TrainerConfig(
+        data_path=base, model_path=root / "models", description="e2e",
+        batch_size=4, epochs=6, lr=5e-3, arch="xresnet18",
+        codes=["nodata", "dark", "bright"], bf16=False, seed=0,
+        visualize_data_example=False, export_model_summary=True,
+    )
+    bundle = train_model(cfg)
+    return root, ip, bundle, base
+
+
+class TestEndToEnd:
+    def test_artifacts_exist(self, trained_bundle):
+        root, ip, bundle, base = trained_bundle
+        assert (bundle / "e2e.json").exists()
+        assert (bundle / "e2e_model_summary.txt").exists()
+        assert (bundle / "e2e_history.png").exists()
+
+    def test_tile_prediction_georeferenced_and_accurate(self, trained_bundle):
+        root, ip, bundle, base = trained_bundle
+        # prediction tiles: full scene, overlap for edge blending
+        pred_dir = root / "pred" / "img_tiles"
+        pred_dir.parent.mkdir(exist_ok=True)
+        split_raster(str(ip), None, str(root / "pred"), patch_size=TILE,
+                     patch_overlap=0.2, split=[1.0], max_empty=1.0)
+        out = save_predictions(str(bundle), str(pred_dir), regression=False,
+                               merge=False, validation_vision=False, batch_size=4)
+        outs = sorted(out.glob("*.tif"))
+        assert len(outs) == len(list(pred_dir.glob("*.tif")))
+        # georeferencing preserved per tile
+        src = read_raster(next(iter(pred_dir.glob("*.tif"))))
+        dst = read_raster(out / next(iter(pred_dir.glob("*.tif"))).name)
+        assert np.allclose(src.transform, dst.transform)
+        # accuracy vs ground truth on one tile
+        truth = read_raster(root / "mask.tif").data[0]
+        correct = total = 0
+        for o in outs:
+            r = read_raster(o)
+            col0 = round((r.transform[0] - T[0]) / T[1])
+            row0 = round((r.transform[3] - T[3]) / T[5])
+            gt = truth[row0:row0 + TILE, col0:col0 + TILE]
+            correct += np.sum(r.data[0] == gt)
+            total += gt.size
+        assert correct / total > 0.9, f"accuracy {correct/total}"
+
+    def test_merged_mosaic(self, trained_bundle):
+        root, ip, bundle, base = trained_bundle
+        pred_dir = root / "pred" / "img_tiles"
+        mosaic_path = save_predictions(str(bundle), str(pred_dir), regression=False,
+                                       merge=True, AOI="city", year="2026",
+                                       validation_vision=False, batch_size=4)
+        assert mosaic_path.name == "city_2026_e2e_prediction.tif"
+        m = read_raster(mosaic_path)
+        assert m.data.shape == (1, SIZE, SIZE)
+        assert np.allclose(m.transform, T)
+        truth = read_raster(root / "mask.tif").data[0]
+        acc = np.mean(m.data[0] == truth)
+        assert acc > 0.9, f"mosaic accuracy {acc}"
+
+    def test_validation_figures(self, trained_bundle):
+        root, ip, bundle, base = trained_bundle
+        vali_imgs = base / "vali" / "img_tiles"
+        out = save_predictions(str(bundle), str(vali_imgs), regression=False,
+                               merge=False, validation_vision=True, batch_size=4)
+        assert (out / "Valid_figures" / "Confusion_Matrix.png").exists()
+        assert (out / "Valid_figures" / "classification_report.png").exists()

@@ -33,6 +33,28 @@ from .train.optimizer import one_cycle_adam
 A100_BASELINE_TILES_PER_SEC = 100.0
 
 
+def _sync(x) -> float:
+    """Force true device completion by fetching a scalar to host.
+
+    ``jax.block_until_ready`` does not actually block through the remote
+    (axon-tunnel) TPU platform — timing without a host readback reports
+    impossible >peak FLOPs. A scalar fetch is the reliable sync point; its
+    latency is measured separately and subtracted.
+    """
+    return float(jax.device_get(x if x.ndim == 0 else x.ravel()[0]))
+
+
+def _fetch_latency(x) -> float:
+    """Median latency of fetching an already-computed scalar."""
+    _sync(x)
+    samples = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        _sync(x)
+        samples.append(time.perf_counter() - t0)
+    return sorted(samples)[len(samples) // 2]
+
+
 def build_train_step(model, tx):
     def loss_fn(params, batch_stats, images, masks):
         logits, updates = model.apply(
@@ -73,15 +95,17 @@ def bench_train(tile: int = 512, batch_size: int = 8, steps: int = 20,
         key, sub = jax.random.split(key)
         params, batch_stats, opt_state, loss = train_step(
             params, batch_stats, opt_state, images, masks, sub)
-    jax.block_until_ready(loss)
+    latency = _fetch_latency(loss)
 
+    # each step consumes the previous step's params → the chain serializes;
+    # fetching the final loss forces completion of every step
     t0 = time.perf_counter()
     for i in range(steps):
         key, sub = jax.random.split(key)
         params, batch_stats, opt_state, loss = train_step(
             params, batch_stats, opt_state, images, masks, sub)
-    jax.block_until_ready(loss)
-    dt = time.perf_counter() - t0
+    _sync(loss)
+    dt = max(time.perf_counter() - t0 - latency, 1e-9)
 
     n_chips = jax.device_count()
     tiles_per_sec = batch_size * steps / dt
@@ -104,18 +128,24 @@ def bench_predict(tile: int = 512, batch_size: int = 16, steps: int = 20,
     variables = jax.jit(partial(model.init, train=False))(jax.random.PRNGKey(0), x)
 
     @jax.jit
-    def forward(variables, images):
-        return jax.nn.softmax(model.apply(variables, images, train=False), axis=-1)
+    def forward(variables, images, carry):
+        # carry chains iterations: each forward depends on the previous
+        # output, defeating any dedup/caching in the remote platform while
+        # perturbing inputs by a negligible epsilon
+        images = images + carry * 1e-12
+        probs = jax.nn.softmax(model.apply(variables, images, train=False), axis=-1)
+        return probs, jnp.max(probs)
 
     images = jnp.asarray(np.random.default_rng(0).integers(
         0, 255, size=x.shape).astype(np.float32))
-    probs = forward(variables, images)
-    jax.block_until_ready(probs)
+    carry = jnp.zeros((), jnp.float32)
+    probs, carry = forward(variables, images, carry)
+    latency = _fetch_latency(carry)
     t0 = time.perf_counter()
     for _ in range(steps):
-        probs = forward(variables, images)
-    jax.block_until_ready(probs)
-    dt = time.perf_counter() - t0
+        probs, carry = forward(variables, images, carry)
+    _sync(carry)
+    dt = max(time.perf_counter() - t0 - latency, 1e-9)
     mpix = batch_size * steps * tile * tile / 1e6 / dt
     return {"tile": tile, "batch_size": batch_size, "seconds": dt,
             "megapixels_per_sec": mpix}

@@ -47,15 +47,6 @@ def _apply_class_zero(arr: np.ndarray, nodata: Optional[float]) -> np.ndarray:
     return np.where(arr == 0, fill, arr - 1)
 
 
-@partial(jax.jit, static_argnames=("regression",))
-def _forward_probs(model_apply_vars, images, regression: bool):
-    model, variables = model_apply_vars
-    logits = model.apply(variables, images, train=False)
-    if regression:
-        return logits[..., 0:1]  # (B,H,W,1) predicted values
-    return jax.nn.softmax(logits, axis=-1)
-
-
 class Predictor:
     """Loads a model bundle and predicts batches of equally-sized tiles."""
 

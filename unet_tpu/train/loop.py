@@ -98,6 +98,7 @@ class TrainerConfig:
     checkpoint_every: int = 0  # epochs; 0 = off
     resume: bool = False
     devices: Optional[Sequence[Any]] = None
+    profile_dir: Optional[str] = None  # jax.profiler trace of epoch 0
 
 
 def _choose_devices(batch_size: int, devices) -> list:
@@ -173,6 +174,9 @@ class Trainer:
         self.total_steps = self.steps_per_epoch * cfg.epochs
         self.history: List[Dict[str, Any]] = []
         self._step_fns: Dict[int, Tuple[Callable, Callable]] = {}
+        from ..utils.profiling import StepTimer
+
+        self.timer = StepTimer()
 
     # --- state ----------------------------------------------------------------
 
@@ -309,20 +313,30 @@ class Trainer:
         smooth_loss, smooth_count = 0.0, 0
         beta = 0.98  # fastai AvgSmoothLoss
 
+        from ..utils.profiling import device_trace
+
         for epoch in range(start_epoch, cfg.epochs):
             t0 = time.monotonic()
+            trace_ctx = device_trace(cfg.profile_dir) if epoch == start_epoch else None
+            if trace_ctx is not None:
+                trace_ctx.__enter__()
             for images, masks, _ in self.train_loader:
                 key, sub = jax.random.split(key)
-                images, masks = shard_batch(self.mesh, images, masks)
-                state, loss = train_step(state, images, masks, sub)
-                loss = float(loss)
+                with self.timer.phase("h2d"):
+                    images, masks = shard_batch(self.mesh, images, masks)
+                with self.timer.phase("train_step"):
+                    state, loss = train_step(state, images, masks, sub)
+                    loss = float(loss)
                 if math.isfinite(loss):
                     smooth_count += 1
                     smooth_loss = beta * smooth_loss + (1 - beta) * loss
+            if trace_ctx is not None:
+                trace_ctx.__exit__(None, None, None)
             train_loss = smooth_loss / (1 - beta**max(smooth_count, 1))
 
             row: Dict[str, Any] = {"epoch": epoch, "train_loss": train_loss}
-            row.update(self.evaluate(state, eval_step))
+            with self.timer.phase("evaluate"):
+                row.update(self.evaluate(state, eval_step))
             row["time"] = _fmt_time(time.monotonic() - t0)
             self.history.append(row)
             print("  ".join(f"{k}={v if isinstance(v, str) else round(v, 5)}"
@@ -477,18 +491,51 @@ class Trainer:
 
 
 def train_model(cfg: TrainerConfig) -> Path:
-    """End-to-end: build trainer, fit, export bundle. Returns bundle dir."""
+    """End-to-end: build trainer, fit, export bundle. Returns bundle dir.
+
+    Orchestration mirror of train_func (train.py:287-373): dataset stats and
+    class-weight prints, optional batch-histogram visualization and model
+    summary, training, loss plot, bundle export.
+    """
     trainer = Trainer(cfg)
     print(f"Train files: {trainer.dataset.n_train}, Test files: {trainer.dataset.n_valid}")
     if not cfg.regression:
         print(f"Class weights: {trainer.class_weights}")
-    state, _ = trainer.fit()
+
+    bundle_dir = Path(cfg.model_path) / cfg.description
+    bundle_dir.mkdir(parents=True, exist_ok=True)
+    model_path = bundle_dir / f"{cfg.description}.msgpack"
+
+    if cfg.visualize_data_example:
+        from ..utils.plots import visualize_data
+
+        images, masks, _ = trainer.train_loader.one_batch()
+        print(f"Input shape: {images.shape}, Output shape: {masks.shape}")
+        print(f"Examplary value range INPUT: {images.min()} to {images.max()}")
+        visualize_data(images, model_path)
+        visualize_data(masks, model_path)
+
+    state, history = trainer.fit()
     out = trainer.export(state)
+
+    if history:
+        from ..utils.plots import plot_training_overview
+
+        plot_training_overview(
+            history, trainer.monitor, bundle_dir / f"{cfg.description}_history.png"
+        )
 
     if cfg.export_model_summary:
         summary_path = out / f"{cfg.description}_model_summary.txt"
-        n_params = sum(x.size for x in jax.tree_util.tree_leaves(state.params))
+        per_module = {
+            k: sum(x.size for x in jax.tree_util.tree_leaves(v))
+            for k, v in state.params.items()
+        }
+        n_params = sum(per_module.values())
         lines = [f"Class_weights: {trainer.class_weights}",
-                 f"Architecture: {cfg.arch}", f"Parameters: {n_params:,}"]
+                 f"Architecture: {cfg.arch}",
+                 f"Input: {trainer.tile_hw} x {trainer.c_in} bands -> {trainer.n_out} outputs",
+                 f"Total parameters: {n_params:,}", "", "Per-module parameters:"]
+        lines += [f"  {k}: {v:,}" for k, v in sorted(per_module.items())]
         summary_path.write_text("\n".join(lines) + "\n")
     return out
