@@ -107,22 +107,31 @@ class TestDynamicUnet:
         assert any(not np.allclose(b, a) for b, a in zip(before, after))
 
     def test_gradients_flow_to_all_params(self):
+        """Every parameter receives gradient after one update.
+
+        At initialization the Bag-of-Tricks zero-init gammas (BatchZero)
+        exactly block gradients into each residual conv path — by design.
+        After one step those gammas become non-zero and gradient flows
+        everywhere, which is what this asserts.
+        """
         m = build_unet("xresnet18", n_out=2, c_in=3, dtype=jnp.float32)
-        v, _ = self._init(m, (1, 32, 32, 3))
-        x = jax.random.normal(jax.random.PRNGKey(2), (1, 32, 32, 3))
+        v, _ = self._init(m, (2, 32, 32, 3))
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 32, 3))
 
         def loss_fn(params):
             y = m.apply({"params": params, "batch_stats": v["batch_stats"]}, x,
                         train=True, mutable=["batch_stats"])[0]
             return jnp.mean(y ** 2)
 
-        grads = jax.grad(loss_fn)(v["params"])
+        g1 = jax.grad(loss_fn)(v["params"])
+        params2 = jax.tree_util.tree_map(lambda p, g: p - 0.5 * g, v["params"], g1)
+        g2 = jax.grad(loss_fn)(params2)
         zero_grads = [
-            p for p, g in jax.tree_util.tree_leaves_with_path(grads)
-            if np.allclose(np.asarray(g), 0.0)
+            jax.tree_util.keystr(p)
+            for p, g in jax.tree_util.tree_leaves_with_path(g2)
+            if np.all(np.asarray(g) == 0.0)  # exact zeros = truly dead path
         ]
-        # gamma (self-attn off here) aside, every parameter should receive gradient
-        assert not zero_grads or all("gamma" in str(p) for p in zero_grads)
+        assert not zero_grads, f"dead parameters: {zero_grads[:5]}"
 
     def test_decoder_channel_walk_xresnet34(self):
         """Decoder widths must match the fastai-derived walk:

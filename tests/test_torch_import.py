@@ -1,0 +1,142 @@
+"""Pretrained-weight import: torch xresnet → Flax encoder forward parity.
+
+Builds a torch model with fastai's exact XResNet structure/naming
+(ConvLayer = Sequential(conv, bn, relu); ResBlock with convpath/idpath),
+randomizes weights AND BatchNorm running stats, converts the state_dict, and
+asserts the Flax encoder produces the same activations — validating the
+whole pretrained-encoder path end to end.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+
+from unet_tpu.models import XResNetBody, build_unet
+from unet_tpu.models.torch_import import convert_xresnet_state_dict, load_encoder
+
+
+def conv_layer(ni, nf, ks=3, stride=1, act=True, zero_bn=False):
+    conv = tnn.Conv2d(ni, nf, ks, stride, (ks - 1) // 2, bias=False)
+    bn = tnn.BatchNorm2d(nf, eps=1e-5)
+    tnn.init.constant_(bn.weight, 0.0 if zero_bn else 1.0)
+    layers = [conv, bn] + ([tnn.ReLU()] if act else [])
+    return tnn.Sequential(*layers)
+
+
+class TorchResBlock(tnn.Module):
+    def __init__(self, ni, nf, stride=1):
+        super().__init__()
+        self.convpath = tnn.Sequential(
+            conv_layer(ni, nf, 3, stride),
+            conv_layer(nf, nf, 3, act=False, zero_bn=True),
+        )
+        idlayers = []
+        if stride != 1:
+            idlayers.append(tnn.AvgPool2d(2, ceil_mode=True))
+        if ni != nf:
+            idlayers.append(conv_layer(ni, nf, 1, act=False))
+        self.idpath = tnn.Sequential(*idlayers)
+        self.act = tnn.ReLU()
+
+    def forward(self, x):
+        return self.act(self.convpath(x) + self.idpath(x))
+
+
+def torch_xresnet18_body(c_in=3):
+    stem = [conv_layer(c_in, 32, stride=2), conv_layer(32, 32), conv_layer(32, 64)]
+    stages = []
+    nis, nfs, layers = [64, 64, 128, 256], [64, 128, 256, 512], [2, 2, 2, 2]
+    for s, (ni, nf, n) in enumerate(zip(nis, nfs, layers)):
+        blocks = [
+            TorchResBlock(ni if b == 0 else nf, nf,
+                          stride=1 if (s == 0 or b > 0) else 2)
+            for b in range(n)
+        ]
+        stages.append(tnn.Sequential(*blocks))
+    return tnn.Sequential(*stem, tnn.MaxPool2d(3, 2, 1), *stages)
+
+
+@pytest.fixture(scope="module")
+def torch_body():
+    torch.manual_seed(0)
+    body = torch_xresnet18_body()
+    # randomize BN affine + running stats so parity is non-trivial
+    with torch.no_grad():
+        for m in body.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.weight.mul_(0.5).add_(0.3)
+                m.bias.add_(torch.randn_like(m.bias) * 0.1)
+                m.running_mean.add_(torch.randn_like(m.running_mean) * 0.2)
+                m.running_var.mul_(1.5)
+    body.eval()
+    return body
+
+
+class TestTorchImport:
+    def test_encoder_forward_parity(self, torch_body):
+        sd = {k: v.numpy() for k, v in torch_body.state_dict().items()}
+        params, stats = convert_xresnet_state_dict(sd, "xresnet18")
+
+        x = np.random.default_rng(1).normal(size=(2, 3, 64, 64)).astype(np.float32)
+        with torch.no_grad():
+            want = torch_body(torch.from_numpy(x)).numpy()
+
+        enc = XResNetBody("xresnet18", 3, dtype=jnp.float32)
+        feats, skips = enc.apply(
+            {"params": params, "batch_stats": stats},
+            jnp.asarray(np.moveaxis(x, 1, 3)), train=False,
+        )
+        got = np.moveaxis(np.asarray(feats), 3, 1)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-4)
+
+    def test_skip_activations_match(self, torch_body):
+        """Hooked intermediates (the decoder's skips) must also match."""
+        sd = {k: v.numpy() for k, v in torch_body.state_dict().items()}
+        params, stats = convert_xresnet_state_dict(sd, "xresnet18")
+        x = np.random.default_rng(2).normal(size=(1, 3, 64, 64)).astype(np.float32)
+
+        acts = {}
+        hooks = []
+        for i in (2, 4, 5, 6):  # conv3, stage1, stage2, stage3
+            hooks.append(torch_body[i].register_forward_hook(
+                lambda m, inp, out, i=i: acts.__setitem__(i, out.detach().numpy())))
+        with torch.no_grad():
+            torch_body(torch.from_numpy(x))
+        for h in hooks:
+            h.remove()
+
+        enc = XResNetBody("xresnet18", 3, dtype=jnp.float32)
+        _, skips = enc.apply({"params": params, "batch_stats": stats},
+                             jnp.asarray(np.moveaxis(x, 1, 3)), train=False)
+        # skips deepest-first: [stage3, stage2, stage1, stem_conv3]
+        for skip, idx in zip(skips, (6, 5, 4, 2)):
+            got = np.moveaxis(np.asarray(skip), 3, 1)
+            np.testing.assert_allclose(got, acts[idx], rtol=1e-3, atol=1e-4)
+
+    def test_load_encoder_into_unet(self, torch_body):
+        sd = {k: v.numpy() for k, v in torch_body.state_dict().items()}
+        model = build_unet("xresnet18", n_out=2, c_in=3, dtype=jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)), train=False)
+        new_vars = load_encoder(variables, sd, "xresnet18")
+        want = np.transpose(sd["2.0.weight"], (2, 3, 1, 0))
+        np.testing.assert_allclose(
+            np.asarray(new_vars["params"]["encoder"]["stem_2"]["conv"]["kernel"]), want)
+        # model still runs
+        y = model.apply(new_vars, jnp.zeros((1, 32, 32, 3)), train=False)
+        assert y.shape == (1, 32, 32, 2)
+
+    def test_multispectral_stem_keeps_fresh_init(self, torch_body):
+        sd = {k: v.numpy() for k, v in torch_body.state_dict().items()}
+        model = build_unet("xresnet18", n_out=2, c_in=5, dtype=jnp.float32)
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 5)), train=False)
+        before = np.asarray(variables["params"]["encoder"]["stem_0"]["conv"]["kernel"]).copy()
+        new_vars = load_encoder(variables, sd, "xresnet18")
+        after = np.asarray(new_vars["params"]["encoder"]["stem_0"]["conv"]["kernel"])
+        np.testing.assert_array_equal(before, after)  # 5-channel stem kept
+        # but deeper layers are grafted
+        np.testing.assert_allclose(
+            np.asarray(new_vars["params"]["encoder"]["stem_1"]["conv"]["kernel"]),
+            np.transpose(sd["1.0.weight"], (2, 3, 1, 0)))

@@ -41,6 +41,7 @@ Array = jax.Array
 class AugmentConfig:
     hflip_p: float = 0.5
     vflip_p: float = 0.5
+    rot90_p: float = 0.0  # random 90° rotation (square tiles only)
     brightness_limit: Tuple[float, float] = (-0.1, 0.1)
     contrast_limit: Tuple[float, float] = (-0.1, 0.1)
     brightness_contrast_p: float = 0.0
@@ -56,6 +57,8 @@ class AugmentConfig:
             d["HorizontalFlip"] = self.hflip_p
         if self.vflip_p:
             d["VerticalFlip"] = self.vflip_p
+        if self.rot90_p:
+            d["RandomRotate90"] = self.rot90_p
         if self.brightness_contrast_p:
             d["RandomBrightnessContrast"] = self.brightness_contrast_p
         if self.coarse_dropout_p:
@@ -106,10 +109,26 @@ def _augment(
 ) -> Tuple[Array, Optional[Array]]:
     b, h, w, _c = images.shape
     in_range = (jnp.arange(b) < n_aug)
-    keys = jax.random.split(key, 4)
+    keys = jax.random.split(key, 5)
 
     def gate(k, p):
         return in_range & (jax.random.uniform(k, (b,)) < p)
+
+    if cfg.rot90_p > 0 and h == w:
+        k_g, k_n = jax.random.split(keys[4])
+        f = gate(k_g, cfg.rot90_p)
+        n_rot = jax.random.randint(k_n, (b,), 1, 4)  # 90/180/270
+        k_eff = jnp.where(f, n_rot, 0)
+
+        def rot_k(x, spatial_axes):
+            outs = [x] + [jnp.rot90(x, k, axes=spatial_axes) for k in (1, 2, 3)]
+            stacked = jnp.stack(outs)  # (4, B, ...)
+            sel = k_eff.reshape(1, b, *([1] * (x.ndim - 1)))
+            return jnp.take_along_axis(stacked, sel, axis=0)[0]
+
+        images = rot_k(images, (1, 2))
+        if masks is not None:
+            masks = rot_k(masks, (1, 2))
 
     if cfg.hflip_p > 0:
         f = gate(keys[0], cfg.hflip_p)

@@ -17,6 +17,7 @@ from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 Dtype = Any
@@ -66,16 +67,19 @@ class ConvLayer(nn.Module):
         )(x)
         if self.norm is not None:
             scale_init = nn.initializers.zeros if self.norm == "batchzero" else nn.initializers.ones
+            # dtype=self.dtype keeps activations in bf16 end-to-end (flax
+            # BatchNorm promotes to fp32 internally for the mean/var math,
+            # so statistics stay accurate); fp32 intermediates here would
+            # double HBM traffic on every encoder layer
             x = nn.BatchNorm(
                 use_running_average=not train,
                 momentum=0.9,
                 epsilon=1e-5,
-                dtype=jnp.float32,
+                dtype=self.dtype,
                 param_dtype=jnp.float32,
                 scale_init=scale_init,
                 name="bn",
             )(x)
-            x = x.astype(self.dtype)
         if self.act:
             x = nn.relu(x)
         return x
@@ -95,15 +99,17 @@ def avg_pool_ceil(x: jax.Array, ks: int = 2) -> jax.Array:
     b, h, w, c = x.shape
     pad_h = (-h) % ks
     pad_w = (-w) % ks
-    pads = ((0, 0), (0, pad_h), (0, pad_w), (0, 0))
-    summed = jax.lax.reduce_window(
-        x.astype(jnp.float32), 0.0, jax.lax.add, (1, ks, ks, 1), (1, ks, ks, 1), pads
+    # zero-pad to a multiple of ks, sum by strided slicing (differentiable
+    # on every backend — bf16 reduce_window has no TPU transpose rule),
+    # divide by the per-window element count (a compile-time constant).
+    xp = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    summed = sum(
+        xp[:, i::ks, j::ks, :] for i in range(ks) for j in range(ks)
     )
-    ones = jnp.ones((1, h, w, 1), jnp.float32)
-    counts = jax.lax.reduce_window(
-        ones, 0.0, jax.lax.add, (1, ks, ks, 1), (1, ks, ks, 1), pads
-    )
-    return (summed / counts).astype(x.dtype)
+    row_counts = np.minimum(np.arange(0, h, ks) + ks, h) - np.arange(0, h, ks)
+    col_counts = np.minimum(np.arange(0, w, ks) + ks, w) - np.arange(0, w, ks)
+    counts = (row_counts[:, None] * col_counts[None, :]).astype(np.float32)
+    return summed / jnp.asarray(counts, x.dtype)[None, :, :, None]
 
 
 class ResBlock(nn.Module):

@@ -1,0 +1,128 @@
+"""Import pretrained torch/fastai xresnet encoder weights.
+
+The reference's ``pretrained=True`` path loads fastai's ImageNet xresnet
+weights (train.py:128). This environment has no fastai and no network, so
+pretraining is delivered as a converter: given a torch ``state_dict`` for a
+fastai ``xresnet{18,34,50,101}`` (saved with ``torch.save``), remap it onto
+our Flax encoder parameter tree.
+
+Layout mapping (fastai XResNet sequential → XResNetBody):
+  0..2            stem ConvLayers      → stem_0..stem_2
+  4+s (stage s)   blocks               → stage_{s}_block_{b}
+    convpath convs  → conv1/conv2[/conv3]
+    idconv          → idconv
+Torch conv kernels are OIHW → transposed to flax HWIO; BatchNorm
+weight/bias/running_mean/running_var map to scale/bias/mean/var.
+
+Note the reference's multispectral stem swap DISCARDS the pretrained first
+conv when ``n_input_channels != 3`` (train.py:130-135); ``load_encoder``
+reproduces that: the stem_0 conv keeps its fresh init unless channel counts
+match.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+from .xresnet import ARCHS
+
+
+def _conv(w) -> np.ndarray:
+    """torch OIHW → flax HWIO."""
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def _bn(prefix: str, sd: Dict[str, Any]) -> Tuple[Dict, Dict]:
+    params = {
+        "scale": np.asarray(sd[f"{prefix}.weight"]),
+        "bias": np.asarray(sd[f"{prefix}.bias"]),
+    }
+    stats = {
+        "mean": np.asarray(sd[f"{prefix}.running_mean"]),
+        "var": np.asarray(sd[f"{prefix}.running_var"]),
+    }
+    return params, stats
+
+
+def convert_xresnet_state_dict(
+    sd: Dict[str, Any], arch: str = "xresnet34"
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """torch xresnet state_dict → (params, batch_stats) for XResNetBody.
+
+    Accepts both bare tensors and anything numpy can view (call
+    ``{k: v.numpy() for k, v in sd.items()}`` first for torch tensors).
+    """
+    expansion, layers = ARCHS[arch]
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+
+    for i in range(3):  # stem ConvLayers at sequential indices 0..2
+        p, s = _bn(f"{i}.1", sd)
+        params[f"stem_{i}"] = {"conv": {"kernel": _conv(sd[f"{i}.0.weight"])}, "bn": p}
+        stats[f"stem_{i}"] = {"bn": s}
+
+    n_convs = 2 if expansion == 1 else 3
+    for s_idx, n_blocks in enumerate(layers):
+        seq = 4 + s_idx  # index in the torch Sequential (3 is the maxpool)
+        for b in range(n_blocks):
+            name = f"stage_{s_idx}_block_{b}"
+            block: Dict[str, Any] = {}
+            bstat: Dict[str, Any] = {}
+            for c in range(n_convs):
+                base = f"{seq}.{b}.convpath.{c}"
+                p, st = _bn(f"{base}.1", sd)
+                block[f"conv{c + 1}"] = {"conv": {"kernel": _conv(sd[f"{base}.0.weight"])}, "bn": p}
+                bstat[f"conv{c + 1}"] = {"bn": st}
+            # identity path: fastai idpath = [AvgPool?][ConvLayer]; the conv
+            # (when present) is the last module with weights
+            for id_idx in (0, 1):
+                key = f"{seq}.{b}.idpath.{id_idx}.0.weight"
+                if key in sd:
+                    p, st = _bn(f"{seq}.{b}.idpath.{id_idx}.1", sd)
+                    block["idconv"] = {"conv": {"kernel": _conv(sd[key])}, "bn": p}
+                    bstat["idconv"] = {"bn": st}
+            params[name] = block
+            stats[name] = bstat
+    return params, stats
+
+
+def load_encoder(
+    variables: Dict[str, Any],
+    sd: Dict[str, Any],
+    arch: str = "xresnet34",
+) -> Dict[str, Any]:
+    """Graft converted torch weights into a full DynamicUnet variables tree.
+
+    Shapes must match except the first stem conv, which keeps its fresh
+    init when the input channel count differs (the reference's
+    multispectral swap semantics, train.py:130-135).
+    """
+    import jax
+
+    enc_params, enc_stats = convert_xresnet_state_dict(sd, arch)
+    new_vars = jax.tree_util.tree_map(lambda x: x, variables)  # shallow copy
+    tgt_p = new_vars["params"]["encoder"]
+    tgt_s = new_vars["batch_stats"]["encoder"]
+
+    for name, block in enc_params.items():
+        # stem_0's conv may mismatch on input channels (multispectral swap):
+        # skip just that kernel, graft everything else strictly
+        _graft(tgt_p[name], block, allow_stem_mismatch=(name == "stem_0"))
+        _graft(tgt_s[name], enc_stats[name], allow_stem_mismatch=False)
+    return new_vars
+
+
+def _graft(target: Dict, source: Dict, allow_stem_mismatch: bool) -> None:
+    for k, v in source.items():
+        if isinstance(v, dict):
+            _graft(target[k], v, allow_stem_mismatch)
+        else:
+            if np.shape(target[k]) != np.shape(v):
+                if allow_stem_mismatch:
+                    continue
+                raise ValueError(
+                    f"Shape mismatch for {k}: {np.shape(target[k])} vs {np.shape(v)}"
+                )
+            target[k] = np.asarray(v, dtype=np.asarray(target[k]).dtype)

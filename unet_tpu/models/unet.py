@@ -56,9 +56,9 @@ class UnetBlock(nn.Module):
             )
         s = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, param_dtype=jnp.float32, name="bn",
-        )(skip)
-        cat = jnp.concatenate([up_out, s.astype(self.dtype)], axis=-1)
+            dtype=self.dtype, param_dtype=jnp.float32, name="bn",
+        )(skip.astype(self.dtype))
+        cat = jnp.concatenate([up_out, s], axis=-1)
         cat = nn.relu(cat)
         ni = cat.shape[-1]
         nf = ni if self.final_div else ni // 2
@@ -96,9 +96,9 @@ class DynamicUnet(nn.Module):
         ni = feats.shape[-1]
         y = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=jnp.float32, param_dtype=jnp.float32, name="mid_bn",
+            dtype=self.dtype, param_dtype=jnp.float32, name="mid_bn",
         )(feats)
-        y = nn.relu(y).astype(self.dtype)
+        y = nn.relu(y)
         y = ConvLayer(ni * 2, 3, norm=self.decoder_norm, dtype=self.dtype, name="mid_conv1")(y, train)
         y = ConvLayer(ni, 3, norm=self.decoder_norm, dtype=self.dtype, name="mid_conv2")(y, train)
 

@@ -22,6 +22,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host bring-up: call once per host before ``make_mesh`` so the
+    mesh spans every host's chips (DCN across hosts, ICI within a slice).
+    No-op when JAX already runs single-process with explicit args absent."""
+    if coordinator_address is None and num_processes is None:
+        return  # single-host: nothing to initialize
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
     """1-D data-parallel mesh over all (or the given) devices."""
     if devices is None:

@@ -85,6 +85,7 @@ class TrainerConfig:
     n_transform_imgs: float = 1.0
     aug: AugmentConfig = field(default_factory=AugmentConfig)
     existing_model: Optional[str] = None
+    pretrained_weights: Optional[str] = None  # torch xresnet state_dict (.pth)
     export_model_summary: bool = False
     visualize_data_example: bool = False
     info: str = ""
@@ -186,7 +187,21 @@ class Trainer:
             return variables
         x = jnp.zeros((1, *self.tile_hw, self.c_in), jnp.float32)
         init_fn = jax.jit(partial(self.model.init, train=False))
-        return init_fn(jax.random.PRNGKey(self.cfg.seed), x)
+        variables = init_fn(jax.random.PRNGKey(self.cfg.seed), x)
+        if self.cfg.pretrained_weights:
+            # the reference's pretrained=True (train.py:128): ImageNet
+            # xresnet encoder weights, converted from a torch state_dict
+            import torch
+
+            from ..models.torch_import import load_encoder
+
+            sd = torch.load(self.cfg.pretrained_weights, map_location="cpu",
+                            weights_only=True)
+            sd = {k: v.numpy() for k, v in sd.items()}
+            variables = load_encoder(
+                jax.tree_util.tree_map(np.asarray, variables), sd, self.cfg.arch
+            )
+        return variables
 
     def init_state(self, total_steps: Optional[int] = None, lr: Optional[float] = None) -> TrainState:
         variables = self.init_variables()
