@@ -99,6 +99,21 @@ class TestEndToEnd:
         acc = np.mean(m.data[0] == truth)
         assert acc > 0.9, f"mosaic accuracy {acc}"
 
+    def test_device_merge_matches_host_merge(self, trained_bundle):
+        """The Pallas/XLA device-side blend must agree with the reference's
+        host accumulation path."""
+        root, ip, bundle, base = trained_bundle
+        pred_dir = root / "pred" / "img_tiles"
+        host = save_predictions(str(bundle), str(pred_dir), merge=True,
+                                AOI="h", validation_vision=False, batch_size=4)
+        dev = save_predictions(str(bundle), str(pred_dir), merge=True,
+                               AOI="d", validation_vision=False, batch_size=4,
+                               device_merge=True)
+        mh, md = read_raster(host), read_raster(dev)
+        assert np.allclose(mh.transform, md.transform)
+        agree = np.mean(mh.data == md.data)
+        assert agree > 0.999, f"device vs host merge agreement {agree}"
+
     def test_validation_figures(self, trained_bundle):
         root, ip, bundle, base = trained_bundle
         vali_imgs = base / "vali" / "img_tiles"

@@ -84,14 +84,15 @@ class DynamicUnet(nn.Module):
     last_cross: bool = True
     bottle: bool = False
     decoder_norm: Optional[str] = None  # reference-effective: no decoder norm
+    remat: bool = False  # rematerialize blocks (fit larger batches in HBM)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         orig = x.astype(self.dtype)
-        feats, skips = XResNetBody(self.arch, self.c_in, dtype=self.dtype, name="encoder")(
-            orig, train
-        )
+        feats, skips = XResNetBody(self.arch, self.c_in, dtype=self.dtype,
+                                   remat=self.remat, name="encoder")(orig, train)
+        ub_cls = nn.remat(UnetBlock, static_argnums=(3,)) if self.remat else UnetBlock
 
         ni = feats.shape[-1]
         y = nn.BatchNorm(
@@ -105,7 +106,7 @@ class DynamicUnet(nn.Module):
         n = len(skips)
         for i, skip in enumerate(skips):
             not_final = i != n - 1
-            y = UnetBlock(
+            y = ub_cls(
                 final_div=not_final,
                 blur=self.blur and (not_final or self.blur_final),
                 self_attention=self.self_attention and (i == n - 3),

@@ -48,11 +48,13 @@ class XResNetBody(nn.Module):
     arch: str = "xresnet34"
     c_in: int = 3
     dtype: Any = jnp.bfloat16
+    remat: bool = False  # rematerialize blocks: trade FLOPs for activation HBM
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> Tuple[jax.Array, List[jax.Array]]:
         expansion, layers = ARCHS[self.arch]
         widths = stage_widths(len(layers))
+        block_cls = nn.remat(ResBlock, static_argnums=(2,)) if self.remat else ResBlock
 
         # Stem: ConvLayer(c_in,32,stride2) → (32,32) → (32,64), then maxpool.
         # The reference's "multispectral swap" of body[0][0] (train.py:130-135)
@@ -67,7 +69,7 @@ class XResNetBody(nn.Module):
         for s, (n_blocks, width) in enumerate(zip(layers, widths)):
             stride = 1 if s == 0 else 2
             for b in range(n_blocks):
-                x = ResBlock(
+                x = block_cls(
                     expansion,
                     width,
                     stride=stride if b == 0 else 1,

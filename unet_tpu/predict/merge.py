@@ -43,6 +43,62 @@ def tile_extent_info(path: str) -> TileInfo:
                     uly=t[3], ysize=info.height, yres=t[5], crs=info.crs)
 
 
+def grid_layout(infos: List[TileInfo]) -> Tuple[np.ndarray, np.ndarray, int, int, Tuple[float, ...]]:
+    """(rows, cols, y_length, x_length, transform) for equally-sized tiles
+    on a shared grid — the device-merge fast path's placement table."""
+    acc = MosaicAccumulator(infos)
+    rows = np.array([round((i.uly - acc.upleft_y) / i.yres) for i in infos], np.int32)
+    cols = np.array([round((i.ulx - acc.upleft_x) / i.xres) for i in infos], np.int32)
+    transform = (acc.upleft_x, acc.xres, 0.0, acc.upleft_y, 0.0, acc.yres)
+    return rows, cols, acc.y_length, acc.x_length, transform
+
+
+def finalize_mosaic(
+    merged: np.ndarray,
+    counter: np.ndarray,
+    regression: bool = False,
+    all_classes: bool = False,
+    specific_class: Optional[int] = None,
+    large_file: bool = False,
+) -> Tuple[np.ndarray, Optional[float]]:
+    """Shared divide/argmax/select logic (predict.py:307-345)."""
+    nodata: Optional[float] = None
+    if regression:
+        merged = merged[0]
+        counter = counter if counter.ndim == 2 else counter[0]
+        pos = counter > 0
+        merged[pos] /= counter[pos]
+        nodata = -9999
+        merged[~pos] = nodata
+        return merged, nodata
+    pos = counter > 0
+    if large_file and merged.dtype == np.int8:
+        merged[_bc(pos, merged)] //= _bc_vals(counter, merged)[_bc(pos, merged)]
+    else:
+        merged = merged.astype(np.float32, copy=False)
+        p3 = _bc(pos, merged)
+        merged[p3] /= _bc_vals(counter, merged)[p3]
+    if all_classes:
+        pass
+    elif specific_class is None:
+        merged = merged.argmax(axis=0).astype(np.uint8)
+    else:
+        merged = merged[specific_class]
+    return merged, nodata
+
+
+def _bc(mask2d_or_3d: np.ndarray, ref: np.ndarray) -> np.ndarray:
+    if mask2d_or_3d.ndim == ref.ndim:
+        return mask2d_or_3d
+    return np.broadcast_to(mask2d_or_3d[None], ref.shape)
+
+
+def _bc_vals(counter: np.ndarray, ref: np.ndarray) -> np.ndarray:
+    if counter.ndim == ref.ndim:
+        return counter
+    return np.broadcast_to(counter[None], ref.shape)
+
+
 class MosaicAccumulator:
     def __init__(self, infos: List[TileInfo], large_file: bool = False):
         if not infos:

@@ -37,7 +37,7 @@ from ..geo import read_raster, write_raster
 from ..geo import tiff as tiff_codec
 from ..parallel.mesh import make_mesh, replicate_tree, shard_batch
 from ..train.checkpoint import load_bundle
-from .merge import MosaicAccumulator, tile_extent_info
+from .merge import MosaicAccumulator, finalize_mosaic, grid_layout, tile_extent_info
 
 
 def _apply_class_zero(arr: np.ndarray, nodata: Optional[float]) -> np.ndarray:
@@ -65,8 +65,8 @@ class Predictor:
         self.batch_size = batch_size
         self._jit_forward = None
 
-    def predict_batch(self, images: np.ndarray) -> np.ndarray:
-        """(B,H,W,C) raw tile values → (B,H,W,n_out) probabilities/values."""
+    def predict_batch_device(self, images: np.ndarray) -> jax.Array:
+        """(B,H,W,C) raw tile values → device (B,H,W,n_out) probs/values."""
         x = shard_batch(self.mesh, images.astype(np.float32) * self.scale)
         if self._jit_forward is None:
             model = self.model
@@ -78,7 +78,10 @@ class Predictor:
                 return logits[..., 0:1] if regression else jax.nn.softmax(logits, axis=-1)
 
             self._jit_forward = fwd
-        return np.asarray(self._jit_forward(self.variables, x))
+        return self._jit_forward(self.variables, x)
+
+    def predict_batch(self, images: np.ndarray) -> np.ndarray:
+        return np.asarray(self.predict_batch_device(images))
 
 
 def save_predictions(
@@ -95,10 +98,16 @@ def save_predictions(
     class_zero: bool = False,
     batch_size: int = 16,
     devices=None,
+    device_merge: bool = False,
 ) -> Path:
     """Predict every ``*.tif`` tile under ``predict_path``.
 
     Returns the output folder (tiles mode) or mosaic path (merge mode).
+    ``device_merge=True`` accumulates the mosaic in HBM with the Pallas
+    overlap-blend kernel instead of per-tile host round trips (requires the
+    mosaic to fit device memory; probabilities accumulate in float32, so
+    ``large_file`` quantization happens once at the end rather than per
+    tile — slightly more accurate than the reference's int8 accumulation).
     """
     predictor = Predictor(predict_model, batch_size=batch_size, devices=devices)
     if regression != predictor.regression:
@@ -118,9 +127,20 @@ def save_predictions(
     print(f"Started at: {time.strftime('%H:%M:%S')} — {len(tiles)} tiles")
 
     accumulator: Optional[MosaicAccumulator] = None
+    device_mosaic = None
+    tile_rows = tile_cols = None
+    mosaic_transform = None
     if merge:
         infos = [tile_extent_info(str(t)) for t in tiles]
-        accumulator = MosaicAccumulator(infos, large_file=large_file)
+        if device_merge:
+            from ..ops.blend import DeviceMosaic
+
+            tile_rows, tile_cols, y_len, x_len, mosaic_transform = grid_layout(infos)
+            n_out = int(predictor.manifest.get("n_out", 2))
+            device_mosaic = DeviceMosaic(y_len, x_len, n_out)
+            mosaic_crs = infos[0].crs
+        else:
+            accumulator = MosaicAccumulator(infos, large_file=large_file)
 
     bs = predictor.batch_size
     for start in range(0, len(tiles), bs):
@@ -130,6 +150,16 @@ def save_predictions(
         if len(chunk) < bs:  # pad final batch
             pad = np.repeat(batch[-1:], bs - len(chunk), axis=0)
             batch = np.concatenate([batch, pad], axis=0)
+
+        if device_mosaic is not None:
+            # device-side blend: probabilities never leave HBM
+            probs_dev = predictor.predict_batch_device(batch)[: len(chunk)]
+            device_mosaic.add_batch(
+                probs_dev,
+                tile_rows[start : start + len(chunk)],
+                tile_cols[start : start + len(chunk)],
+            )
+            continue
         probs = predictor.predict_batch(batch)[: len(chunk)]  # (b,H,W,C)
 
         for tile_path, raster, p in zip(chunk, rasters, probs):
@@ -167,17 +197,28 @@ def save_predictions(
         plot_valid_predict(str(output_folder), str(path), regression, merge, class_zero)
 
     if merge:
-        mosaic, transform, nodata = accumulator.finalize(
-            regression=regression,
-            all_classes=all_classes,
-            specific_class=specific_class,
-        )
+        if device_mosaic is not None:
+            summed, counter = device_mosaic.finalize()
+            mosaic, nodata = finalize_mosaic(
+                summed, counter, regression=regression,
+                all_classes=all_classes, specific_class=specific_class,
+            )
+            if large_file and not regression and (all_classes or specific_class is not None) \
+                    and np.max(mosaic) <= 1:
+                mosaic = np.around(mosaic * ((128 / 4) - 1)).astype(np.int8)
+            transform, crs = mosaic_transform, mosaic_crs
+        else:
+            mosaic, transform, nodata = accumulator.finalize(
+                regression=regression,
+                all_classes=all_classes,
+                specific_class=specific_class,
+            )
+            crs = accumulator.crs
         if class_zero:
             mosaic = _apply_class_zero(mosaic, nodata)
         name = "_".join(filter(None, [AOI, year, model_name, "prediction"])) + ".tif"
         out_file = output_folder / name
-        write_raster(out_file, mosaic, transform=transform,
-                     crs=accumulator.crs, nodata=nodata)
+        write_raster(out_file, mosaic, transform=transform, crs=crs, nodata=nodata)
         print(f"Prediction stored in {output_folder}.")
         return out_file
     return output_folder
