@@ -1,0 +1,74 @@
+import json
+
+import numpy as np
+import pytest
+
+from unet_tpu.geo import write_raster
+
+T = (500000.0, 0.2, 0.0, 5400000.0, 0.0, -0.2)
+
+
+@pytest.fixture
+def scene(tmp_path, rng):
+    img = rng.integers(1, 255, size=(3, 100, 100)).astype(np.uint8)
+    msk = rng.integers(1, 3, size=(1, 100, 100)).astype(np.uint8)
+    ip, mp = tmp_path / "s.tif", tmp_path / "m.tif"
+    write_raster(ip, img, transform=T, nodata=0)
+    write_raster(mp, msk, transform=T, nodata=0)
+    return tmp_path, ip, mp
+
+
+class TestApiMain:
+    def test_main_create_tiles_stage(self, scene):
+        from unet_tpu.api import Params, main
+
+        root, ip, mp = scene
+        base = root / "tiles"
+        main(Params(Create_tiles=True, image_path=str(ip), mask_path=str(mp),
+                    base_dir=str(base), patch_size=50, patch_overlap=0,
+                    split=[0.8, 0.2], enable_extra_parameters=True, max_empty=0.9))
+        assert len(list((base / "trai" / "img_tiles").glob("*.tif"))) > 0
+        assert len(list((base / "vali" / "img_tiles").glob("*.tif"))) > 0
+
+    def test_main_multi_broadcasts_tiling(self, scene, rng):
+        from unet_tpu.api import Params, main_multi
+
+        root, ip, mp = scene
+        bases = [str(root / "t1"), str(root / "t2")]
+        main_multi(Params(Create_tiles=True, image_path=[str(ip), str(ip)],
+                          mask_path=[str(mp)], base_dir=bases, patch_size=50,
+                          patch_overlap=0, split=[0.8, 0.2],
+                          enable_extra_parameters=True, max_empty=0.9))
+        for b in bases:
+            assert len(list((root / b / "trai" / "img_tiles").glob("*.tif"))) > 0
+
+
+class TestCli:
+    def test_tile_subcommand(self, scene, capsys):
+        from unet_tpu.__main__ import cli
+
+        root, ip, mp = scene
+        rc = cli(["tile", str(ip), "--mask", str(mp), "--base-dir", str(root / "ct"),
+                  "--patch-size", "50", "--split", "0.8", "0.2"])
+        assert rc == 0
+        assert "tiles written" in capsys.readouterr().out
+
+    def test_run_subcommand_with_json(self, scene, capsys):
+        from unet_tpu.__main__ import cli
+
+        root, ip, mp = scene
+        cfg = {"Create_tiles": True, "image_path": str(ip), "mask_path": str(mp),
+               "base_dir": str(root / "jt"), "patch_size": 50, "patch_overlap": 0,
+               "split": [0.8, 0.2]}
+        f = root / "params.json"
+        f.write_text(json.dumps(cfg))
+        rc = cli(["run", str(f)])
+        assert rc == 0
+        assert (root / "jt" / "trai" / "img_tiles").exists()
+
+    def test_parser_covers_all_stages(self):
+        from unet_tpu.__main__ import build_parser
+
+        p = build_parser()
+        for cmd in ("run", "tile", "train", "predict", "bench"):
+            assert cmd in p._subparsers._group_actions[0].choices
