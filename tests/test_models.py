@@ -150,3 +150,19 @@ class TestDynamicUnet:
     def test_bad_arch_raises(self):
         with pytest.raises(ValueError, match="Unknown architecture"):
             build_unet("resnet999")
+
+
+class TestDeepVariant:
+    def test_xresnet34_deep_unet(self):
+        """34_deep has 6 stages → 6 skips → 6 UnetBlocks; the general
+        skip-derivation rule must handle it."""
+        from unet_tpu.models import XResNetBody
+
+        m = XResNetBody(arch="xresnet34_deep", c_in=3, dtype=jnp.float32)
+        (feats, skips), _ = m.init_with_output(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)))
+        assert feats.shape[1] == 1  # /128
+        assert [s.shape[1] for s in skips] == [2, 4, 8, 16, 32, 64]
+        u = build_unet("xresnet34_deep", n_out=2, c_in=3, dtype=jnp.float32)
+        v = u.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)), train=False)
+        y = u.apply(v, jnp.zeros((1, 128, 128, 3)), train=False)
+        assert y.shape == (1, 128, 128, 2)

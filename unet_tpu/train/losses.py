@@ -32,6 +32,20 @@ def _pixel_mask(shape, sample_mask: Optional[Array]) -> Array:
     )
 
 
+def _nll_and_weight(logits: Array, targets: Array, weight: Optional[Array]):
+    """Per-pixel negative log-likelihood via one-hot contraction.
+
+    TPU-friendly: a one-hot multiply-sum over the (small) class axis runs on
+    the VPU and fuses into the log_softmax, unlike ``take_along_axis``
+    gathers which lower to slow scatter/gather ops.
+    """
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    onehot = jax.nn.one_hot(targets.astype(jnp.int32), logits.shape[-1], dtype=logp.dtype)
+    nll = -jnp.sum(logp * onehot, axis=-1)
+    w = None if weight is None else jnp.sum(weight * onehot, axis=-1)
+    return nll, w
+
+
 def cross_entropy(
     logits: Array, targets: Array, weight: Optional[Array] = None,
     sample_mask: Optional[Array] = None,
@@ -42,10 +56,9 @@ def cross_entropy(
     reference relies on via CrossEntropyLossFlat(axis=1, weight=...)
     (train.py:195). ``sample_mask`` excludes padded eval samples.
     """
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32), axis=-1)[..., 0]
+    nll, w = _nll_and_weight(logits, targets, weight)
     m = _pixel_mask(nll.shape, sample_mask)
-    w = m if weight is None else weight[targets.astype(jnp.int32)] * m
+    w = m if w is None else w * m
     return jnp.sum(w * nll) / jnp.sum(w)
 
 
@@ -55,10 +68,9 @@ def focal_loss(
 ) -> Array:
     """fastai FocalLoss: ``((1 - exp(-ce))**gamma * ce).mean()`` with
     per-element weighted CE (reduction='none' then plain mean)."""
-    logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[..., None].astype(jnp.int32), axis=-1)[..., 0]
-    if weight is not None:
-        nll = nll * weight[targets.astype(jnp.int32)]
+    nll, w = _nll_and_weight(logits, targets, weight)
+    if w is not None:
+        nll = nll * w
     p_t = jnp.exp(-nll)
     m = _pixel_mask(nll.shape, sample_mask)
     return jnp.sum((1.0 - p_t) ** gamma * nll * m) / jnp.sum(m)
