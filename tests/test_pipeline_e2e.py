@@ -51,6 +51,17 @@ def trained_bundle(scene):
     return root, ip, bundle, base
 
 
+@pytest.fixture(scope="module")
+def pred_tiles(trained_bundle):
+    """Prediction tiles: full scene, 0.2 overlap for edge blending."""
+    root, ip, bundle, base = trained_bundle
+    pred_dir = root / "pred" / "img_tiles"
+    if not pred_dir.exists():
+        split_raster(str(ip), None, str(root / "pred"), patch_size=TILE,
+                     patch_overlap=0.2, split=[1.0], max_empty=1.0)
+    return pred_dir
+
+
 class TestEndToEnd:
     def test_artifacts_exist(self, trained_bundle):
         root, ip, bundle, base = trained_bundle
@@ -58,13 +69,9 @@ class TestEndToEnd:
         assert (bundle / "e2e_model_summary.txt").exists()
         assert (bundle / "e2e_history.png").exists()
 
-    def test_tile_prediction_georeferenced_and_accurate(self, trained_bundle):
+    def test_tile_prediction_georeferenced_and_accurate(self, trained_bundle, pred_tiles):
         root, ip, bundle, base = trained_bundle
-        # prediction tiles: full scene, overlap for edge blending
-        pred_dir = root / "pred" / "img_tiles"
-        pred_dir.parent.mkdir(exist_ok=True)
-        split_raster(str(ip), None, str(root / "pred"), patch_size=TILE,
-                     patch_overlap=0.2, split=[1.0], max_empty=1.0)
+        pred_dir = pred_tiles
         out = save_predictions(str(bundle), str(pred_dir), regression=False,
                                merge=False, validation_vision=False, batch_size=4)
         outs = sorted(out.glob("*.tif"))
@@ -85,9 +92,9 @@ class TestEndToEnd:
             total += gt.size
         assert correct / total > 0.9, f"accuracy {correct/total}"
 
-    def test_merged_mosaic(self, trained_bundle):
+    def test_merged_mosaic(self, trained_bundle, pred_tiles):
         root, ip, bundle, base = trained_bundle
-        pred_dir = root / "pred" / "img_tiles"
+        pred_dir = pred_tiles
         mosaic_path = save_predictions(str(bundle), str(pred_dir), regression=False,
                                        merge=True, AOI="city", year="2026",
                                        validation_vision=False, batch_size=4)
@@ -99,11 +106,34 @@ class TestEndToEnd:
         acc = np.mean(m.data[0] == truth)
         assert acc > 0.9, f"mosaic accuracy {acc}"
 
-    def test_device_merge_matches_host_merge(self, trained_bundle):
+    def test_all_classes_mode(self, trained_bundle, pred_tiles):
+        root, ip, bundle, base = trained_bundle
+        pred_dir = pred_tiles
+        out = save_predictions(str(bundle), str(pred_dir), merge=False,
+                               all_classes=True, validation_vision=False, batch_size=4)
+        r = read_raster(next(iter(sorted(out.glob("*.tif")))))
+        assert r.data.shape[0] == 3  # full probability stack
+        assert r.dtype == np.float32
+        sums = r.data.sum(axis=0)
+        np.testing.assert_allclose(sums, 1.0, atol=1e-3)  # softmax simplex
+
+    def test_specific_class_and_large_file(self, trained_bundle, pred_tiles):
+        root, ip, bundle, base = trained_bundle
+        pred_dir = pred_tiles
+        out = save_predictions(str(bundle), str(pred_dir), merge=False,
+                               specific_class=2, large_file=True,
+                               validation_vision=False, batch_size=4)
+        r = read_raster(next(iter(sorted(out.glob("*.tif")))))
+        # predict.py:245-249: probs × 31 rounded to int8
+        assert r.data.shape[0] == 1
+        assert r.data.dtype == np.int8
+        assert 0 <= r.data.min() and r.data.max() <= 31
+
+    def test_device_merge_matches_host_merge(self, trained_bundle, pred_tiles):
         """The Pallas/XLA device-side blend must agree with the reference's
         host accumulation path."""
         root, ip, bundle, base = trained_bundle
-        pred_dir = root / "pred" / "img_tiles"
+        pred_dir = pred_tiles
         host = save_predictions(str(bundle), str(pred_dir), merge=True,
                                 AOI="h", validation_vision=False, batch_size=4)
         dev = save_predictions(str(bundle), str(pred_dir), merge=True,

@@ -164,7 +164,7 @@ def run_benchmark(tile: int = 512, batch_size: int = 8, steps: int = 20,
             print(f"train bench failed at bs={bs}: {e}", file=sys.stderr)
     if train_res is None:
         raise RuntimeError("training benchmark failed at all batch sizes")
-    pred_res = bench_predict(tile=tile, batch_size=predict_batch or train_res["batch_size"] * 2,
+    pred_res = bench_predict(tile=tile, batch_size=predict_batch or train_res["batch_size"] * 4,
                              steps=steps)
     value = train_res["tiles_per_sec_per_chip"]
     detail = {

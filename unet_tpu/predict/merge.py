@@ -63,21 +63,24 @@ def finalize_mosaic(
 ) -> Tuple[np.ndarray, Optional[float]]:
     """Shared divide/argmax/select logic (predict.py:307-345)."""
     nodata: Optional[float] = None
+    int8_mode = large_file and merged.dtype == np.int8
+    merged = np.array(merged, dtype=np.int8 if int8_mode else np.float32)
+    counter = np.asarray(counter)
     if regression:
-        merged = merged[0]
-        counter = counter if counter.ndim == 2 else counter[0]
+        merged = merged[0] if merged.ndim == 3 else merged
+        counter = counter[0] if counter.ndim == 3 else counter
         pos = counter > 0
         merged[pos] /= counter[pos]
         nodata = -9999
         merged[~pos] = nodata
         return merged, nodata
+    if counter.ndim < merged.ndim:
+        counter = np.broadcast_to(counter[None], merged.shape)
     pos = counter > 0
-    if large_file and merged.dtype == np.int8:
-        merged[_bc(pos, merged)] //= _bc_vals(counter, merged)[_bc(pos, merged)]
+    if int8_mode:
+        merged[pos] //= counter[pos].astype(np.int8)
     else:
-        merged = merged.astype(np.float32, copy=False)
-        p3 = _bc(pos, merged)
-        merged[p3] /= _bc_vals(counter, merged)[p3]
+        merged[pos] /= counter[pos]
     if all_classes:
         pass
     elif specific_class is None:
@@ -85,18 +88,6 @@ def finalize_mosaic(
     else:
         merged = merged[specific_class]
     return merged, nodata
-
-
-def _bc(mask2d_or_3d: np.ndarray, ref: np.ndarray) -> np.ndarray:
-    if mask2d_or_3d.ndim == ref.ndim:
-        return mask2d_or_3d
-    return np.broadcast_to(mask2d_or_3d[None], ref.shape)
-
-
-def _bc_vals(counter: np.ndarray, ref: np.ndarray) -> np.ndarray:
-    if counter.ndim == ref.ndim:
-        return counter
-    return np.broadcast_to(counter[None], ref.shape)
 
 
 class MosaicAccumulator:

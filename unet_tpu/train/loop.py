@@ -502,6 +502,8 @@ class Trainer:
                 ",".join(str(r[c]) for c in cols) for r in self.history
             ]
             (bundle_dir / f"{cfg.description}_history.csv").write_text("\n".join(lines) + "\n")
+        if self.timer.samples:
+            (bundle_dir / f"{cfg.description}_profile.txt").write_text(self.timer.report() + "\n")
         return bundle_dir
 
 
