@@ -196,3 +196,28 @@ class TestAugment:
                                  reference_quirks=True)
         np.testing.assert_allclose(np.asarray(out_i)[0], np.asarray(imgs)[0] * (255.0 / 65535.0), rtol=1e-5)
         np.testing.assert_allclose(np.asarray(out_i)[1], np.asarray(imgs)[1] / 255.0, rtol=1e-5)
+
+    def test_rot90_joint(self, rng):
+        imgs, msks = self._batch(rng)
+        cfg = AugmentConfig(hflip_p=0.0, vflip_p=0.0, rot90_p=1.0)
+        out_i, out_m = augment_batch(jax.random.PRNGKey(5), imgs, msks, cfg,
+                                     n_transform_imgs=1.0, dtype_str="int8")
+        # each image rotated by some k∈{1,2,3}; mask must match the same k
+        for b in range(imgs.shape[0]):
+            matched = False
+            for k in (1, 2, 3):
+                if np.array_equal(np.asarray(out_i)[b], np.rot90(np.asarray(imgs)[b], k, (0, 1))):
+                    assert np.array_equal(np.asarray(out_m)[b], np.rot90(np.asarray(msks)[b], k, (0, 1)))
+                    matched = True
+            assert matched, f"image {b} is not a rotation of the input"
+
+    def test_saturation(self, rng):
+        imgs, msks = self._batch(rng)
+        cfg = AugmentConfig(hflip_p=0.0, vflip_p=0.0, saturation_p=1.0,
+                            saturation_limit=(-0.5, -0.5))
+        out_i, _ = augment_batch(jax.random.PRNGKey(6), imgs, msks, cfg,
+                                 n_transform_imgs=1.0, dtype_str="int8")
+        # saturation 0.5: channels pulled toward the per-pixel gray mean
+        gray = np.mean(np.asarray(imgs), axis=-1, keepdims=True)
+        want = gray + (np.asarray(imgs) - gray) * 0.5
+        np.testing.assert_allclose(np.asarray(out_i), want, rtol=1e-4, atol=1e-3)

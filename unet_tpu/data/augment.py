@@ -45,6 +45,8 @@ class AugmentConfig:
     brightness_limit: Tuple[float, float] = (-0.1, 0.1)
     contrast_limit: Tuple[float, float] = (-0.1, 0.1)
     brightness_contrast_p: float = 0.0
+    saturation_limit: Tuple[float, float] = (-0.3, 0.3)
+    saturation_p: float = 0.0  # fastai Saturation (params_and_main.py:13 import)
     coarse_dropout_p: float = 0.0
     dropout_holes: int = 8
     dropout_size: int = 8
@@ -61,6 +63,8 @@ class AugmentConfig:
             d["RandomRotate90"] = self.rot90_p
         if self.brightness_contrast_p:
             d["RandomBrightnessContrast"] = self.brightness_contrast_p
+        if self.saturation_p:
+            d["Saturation"] = self.saturation_p
         if self.coarse_dropout_p:
             d["CoarseDropout"] = self.coarse_dropout_p
         if not d:
@@ -109,7 +113,7 @@ def _augment(
 ) -> Tuple[Array, Optional[Array]]:
     b, h, w, _c = images.shape
     in_range = (jnp.arange(b) < n_aug)
-    keys = jax.random.split(key, 5)
+    keys = jax.random.split(key, 6)
 
     def gate(k, p):
         return in_range & (jax.random.uniform(k, (b,)) < p)
@@ -151,6 +155,16 @@ def _augment(
             k_b, (b,), minval=cfg.brightness_limit[0], maxval=cfg.brightness_limit[1]
         )
         adjusted = images * alpha[:, None, None, None] + (beta * max_val)[:, None, None, None]
+        images = jnp.where(f[:, None, None, None], adjusted, images)
+
+    if cfg.saturation_p > 0:
+        k_g, k_s = jax.random.split(keys[5])
+        f = gate(k_g, cfg.saturation_p)
+        sat = 1.0 + jax.random.uniform(
+            k_s, (b,), minval=cfg.saturation_limit[0], maxval=cfg.saturation_limit[1]
+        )
+        gray = jnp.mean(images, axis=-1, keepdims=True)
+        adjusted = gray + (images - gray) * sat[:, None, None, None]
         images = jnp.where(f[:, None, None, None], adjusted, images)
 
     if cfg.coarse_dropout_p > 0:

@@ -152,6 +152,11 @@ class Trainer:
             raise ValueError(
                 f"batch_size {cfg.batch_size} exceeds {self.dataset.n_train} training tiles"
             )
+        if self.dataset.n_valid == 0:
+            raise ValueError(
+                f"No validation tiles: no scene folder named {list(cfg.valid_scenes)} "
+                f"under {self.data_path} contains img_tiles"
+            )
 
         sample_img, _ = self.dataset.load_pair(self.dataset.train_files[0])
         self.c_in = sample_img.shape[0]
@@ -295,13 +300,16 @@ class Trainer:
 
     def evaluate(self, state: TrainState, eval_step) -> Dict[str, float]:
         metric_state = self._metric_init()
-        loss_sum, n_sum = 0.0, 0
+        losses: List[Any] = []
+        counts: List[int] = []
         for images, masks, n_valid in self.valid_loader:
             images, masks = shard_batch(self.mesh, images, masks)
             loss, metric_state = eval_step(state, images, masks, n_valid, metric_state)
-            loss_sum += float(loss) * n_valid
-            n_sum += n_valid
-        out = {"valid_loss": loss_sum / max(n_sum, 1)}
+            losses.append(loss)  # device scalar; fetched once below
+            counts.append(n_valid)
+        losses = [float(l) for l in jax.device_get(losses)]
+        n_sum = sum(counts)
+        out = {"valid_loss": sum(l * n for l, n in zip(losses, counts)) / max(n_sum, 1)}
         out.update(self._metric_values(metric_state))
         return out
 
@@ -335,18 +343,25 @@ class Trainer:
             trace_ctx = device_trace(cfg.profile_dir) if epoch == start_epoch else None
             if trace_ctx is not None:
                 trace_ctx.__enter__()
+            epoch_losses = []
             for images, masks, _ in self.train_loader:
                 key, sub = jax.random.split(key)
                 with self.timer.phase("h2d"):
                     images, masks = shard_batch(self.mesh, images, masks)
                 with self.timer.phase("train_step"):
                     state, loss = train_step(state, images, masks, sub)
-                    loss = float(loss)
-                if math.isfinite(loss):
-                    smooth_count += 1
-                    smooth_loss = beta * smooth_loss + (1 - beta) * loss
+                    # keep the loss on device: fetching it here would force a
+                    # host sync every step (the steps already serialize via
+                    # the donated-state data dependency)
+                    epoch_losses.append(loss)
             if trace_ctx is not None:
                 trace_ctx.__exit__(None, None, None)
+            with self.timer.phase("loss_fetch"):
+                for loss in jax.device_get(epoch_losses):
+                    loss = float(loss)
+                    if math.isfinite(loss):
+                        smooth_count += 1
+                        smooth_loss = beta * smooth_loss + (1 - beta) * loss
             train_loss = smooth_loss / (1 - beta**max(smooth_count, 1))
 
             row: Dict[str, Any] = {"epoch": epoch, "train_loss": train_loss}
