@@ -151,6 +151,42 @@ def bench_predict(tile: int = 512, batch_size: int = 16, steps: int = 20,
             "megapixels_per_sec": mpix}
 
 
+def bench_loader(tile: int = 512, n_tiles: int = 16, bands: int = 4) -> dict:
+    """Host tile-decode throughput: native C++ batch decoder vs Python codec.
+
+    The reference decodes tiles single-threaded through rasterio
+    (num_workers=0 everywhere, SURVEY.md §3.2); this measures our
+    replacement data path."""
+    import tempfile
+    from pathlib import Path
+
+    from .geo import tiff as tiff_codec
+    from . import native
+
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as d:
+        paths = []
+        for i in range(n_tiles):
+            arr = rng.integers(0, 255, size=(bands, tile, tile)).astype(np.uint8)
+            p = Path(d) / f"t_{i}.tif"
+            tiff_codec.write(str(p), arr)
+            paths.append(p)
+        mpix = n_tiles * tile * tile / 1e6
+
+        t0 = time.perf_counter()
+        for p in paths:
+            tiff_codec.read(str(p))
+        python_mpix_s = mpix / (time.perf_counter() - t0)
+
+        native_mpix_s = None
+        if native.available():
+            native.decode_batch(paths[:2], tile, tile, bands)  # warm
+            t0 = time.perf_counter()
+            native.decode_batch(paths, tile, tile, bands, n_threads=8)
+            native_mpix_s = mpix / (time.perf_counter() - t0)
+    return {"python_decode_mpix_s": python_mpix_s, "native_decode_mpix_s": native_mpix_s}
+
+
 def run_benchmark(tile: int = 512, batch_size: int = 8, steps: int = 20,
                   predict_batch: Optional[int] = None) -> dict:
     import sys
@@ -167,11 +203,16 @@ def run_benchmark(tile: int = 512, batch_size: int = 8, steps: int = 20,
     pred_res = bench_predict(tile=tile, batch_size=predict_batch or train_res["batch_size"] * 4,
                              steps=steps)
     value = train_res["tiles_per_sec_per_chip"]
+    try:
+        loader_res = {k: (round(v, 1) if v else v) for k, v in bench_loader().items()}
+    except Exception as e:
+        loader_res = {"error": str(e)[:100]}
     detail = {
         "train": {k: (round(v, 4) if isinstance(v, float) else v)
                   for k, v in train_res.items()},
         "predict": {k: (round(v, 4) if isinstance(v, float) else v)
                     for k, v in pred_res.items()},
+        "loader": loader_res,
         "baseline_note": "vs A100-estimate 100 tiles/s (see docstring); target >= 2.0",
     }
     print(json.dumps(detail), file=sys.stderr)

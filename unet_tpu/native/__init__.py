@@ -78,7 +78,7 @@ def _paths_array(paths: List) -> "ctypes.Array":
 
 
 def decode_batch(paths: List, height: int, width: int, channels: int,
-                 n_threads: int = 0, out: Optional[np.ndarray] = None) -> np.ndarray:
+                 n_threads: int = 8, out: Optional[np.ndarray] = None) -> np.ndarray:
     """Decode equally-sized tiles into an (N,H,W,C) float32 batch in
     parallel native threads. Raises on failure (caller falls back)."""
     lib = get_lib()
@@ -99,7 +99,7 @@ def decode_batch(paths: List, height: int, width: int, channels: int,
 
 
 def decode_masks(paths: List, height: int, width: int,
-                 n_threads: int = 0, out: Optional[np.ndarray] = None) -> np.ndarray:
+                 n_threads: int = 8, out: Optional[np.ndarray] = None) -> np.ndarray:
     lib = get_lib()
     if lib is None:
         raise RuntimeError("native decoder unavailable")
