@@ -11,7 +11,6 @@ sharded mesh.
 from __future__ import annotations
 
 import concurrent.futures as cf
-import threading
 from collections import deque
 from pathlib import Path
 from typing import Iterator, List, Optional, Sequence, Tuple

@@ -25,7 +25,7 @@ Faithfully reproduced details:
 
 from __future__ import annotations
 
-from typing import Any, List, Optional
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -24,17 +24,14 @@ Output modes (identical surface):
 from __future__ import annotations
 
 import time
-from functools import partial
 from pathlib import Path
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..data.augment import image_scale
 from ..geo import read_raster, write_raster
-from ..geo import tiff as tiff_codec
 from ..parallel.mesh import make_mesh, replicate_tree, shard_batch
 from ..train.checkpoint import load_bundle
 from .merge import MosaicAccumulator, finalize_mosaic, grid_layout, tile_extent_info

@@ -17,12 +17,12 @@ from __future__ import annotations
 import os
 import warnings
 from pathlib import Path
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
 from ..geo import Raster, read_raster, write_raster
-from .windows import Window, generate_windows
+from .windows import generate_windows
 
 SPLIT_DIRS = ("trai", "vali", "test")
 

@@ -7,7 +7,7 @@ to the target length, mismatched lengths raise.
 
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import List
 
 
 def check_and_fill(args: List[list], target_len: int) -> List[list]:

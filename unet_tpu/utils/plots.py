@@ -7,7 +7,7 @@ and the loss-plot assembly at train.py:253-281.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import List, Optional, Sequence
+from typing import List, Sequence
 
 import matplotlib
 
