@@ -140,7 +140,11 @@ def save_predictions(
             accumulator = MosaicAccumulator(infos, large_file=large_file)
 
     bs = predictor.batch_size
-    for start in range(0, len(tiles), bs):
+    n_batches = (len(tiles) + bs - 1) // bs
+    report_every = max(n_batches // 10, 1)
+    for batch_idx, start in enumerate(range(0, len(tiles), bs)):
+        if batch_idx % report_every == 0:
+            print(f"Processing tiles: {start}/{len(tiles)}", flush=True)
         chunk = tiles[start : start + bs]
         rasters = [read_raster(t) for t in chunk]
         batch = np.stack([np.moveaxis(r.data.astype(np.float32), 0, 2) for r in rasters])

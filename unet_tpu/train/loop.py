@@ -558,6 +558,8 @@ def train_model(cfg: TrainerConfig) -> Path:
         )
 
     if cfg.export_model_summary:
+        # learn.summary() equivalent (train.py:232-240): class weights +
+        # layer table with shapes and parameter counts
         summary_path = out / f"{cfg.description}_model_summary.txt"
         per_module = {
             k: sum(x.size for x in jax.tree_util.tree_leaves(v))
@@ -569,5 +571,16 @@ def train_model(cfg: TrainerConfig) -> Path:
                  f"Input: {trainer.tile_hw} x {trainer.c_in} bands -> {trainer.n_out} outputs",
                  f"Total parameters: {n_params:,}", "", "Per-module parameters:"]
         lines += [f"  {k}: {v:,}" for k, v in sorted(per_module.items())]
+        try:
+            import flax.linen as nn
+
+            x = jnp.zeros((1, *trainer.tile_hw, trainer.c_in), jnp.float32)
+            table = nn.tabulate(
+                trainer.model, jax.random.PRNGKey(0), depth=2,
+                compute_flops=False, compute_vjp_flops=False,
+            )(x, train=False)
+            lines += ["", table]
+        except Exception as e:  # tabulate is best-effort decoration
+            lines += ["", f"(layer table unavailable: {e})"]
         summary_path.write_text("\n".join(lines) + "\n")
     return out
