@@ -151,3 +151,23 @@ class TestEndToEnd:
                                merge=False, validation_vision=True, batch_size=4)
         assert (out / "Valid_figures" / "Confusion_Matrix.png").exists()
         assert (out / "Valid_figures" / "classification_report.png").exists()
+
+
+class TestServeRaster:
+    def test_predict_raster_direct(self, trained_bundle, tmp_path):
+        """Whole-scene serving without pre-tiled files."""
+        from unet_tpu.predict import predict_raster
+
+        root, ip, bundle, base = trained_bundle
+        out_path = tmp_path / "served.tif"
+        arr, transform, crs = predict_raster(str(bundle), str(ip), str(out_path),
+                                             patch_size=TILE, patch_overlap=0.2,
+                                             batch_size=4)
+        assert arr.shape == (SIZE, SIZE)
+        assert np.allclose(transform, T)
+        truth = read_raster(root / "mask.tif").data[0]
+        acc = np.mean(arr == truth)
+        assert acc > 0.9, f"served accuracy {acc}"
+        r = read_raster(out_path)
+        np.testing.assert_array_equal(r.data[0], arr)
+        assert r.crs == "EPSG:25833"

@@ -81,6 +81,68 @@ class Predictor:
         return np.asarray(self.predict_batch_device(images))
 
 
+def predict_raster(
+    predict_model: str,
+    raster_path: str,
+    output_path: Optional[str] = None,
+    patch_size: Optional[int] = None,
+    patch_overlap: float = 0.2,
+    batch_size: int = 16,
+    regression: bool = False,
+    all_classes: bool = False,
+    specific_class: Optional[int] = None,
+    class_zero: bool = False,
+    devices=None,
+):
+    """Serve a whole GeoTIFF directly: window → batch → blend, no tile files.
+
+    The reference requires an offline ``split_raster`` pass to disk and a
+    second merge pass (SURVEY.md §3.3); this runs the sliding window
+    in-memory, streams batches through the sharded model, and accumulates
+    the overlap-averaged mosaic on device. Returns (array, transform, crs)
+    and optionally writes a georeferenced GeoTIFF.
+    """
+    from ..ops.blend import DeviceMosaic
+    from ..tiling.windows import generate_windows
+
+    predictor = Predictor(predict_model, batch_size=batch_size, devices=devices)
+    regression = predictor.regression or regression
+    scene = read_raster(raster_path)
+    hwc = np.moveaxis(scene.data.astype(np.float32), 0, 2)
+    h, w = hwc.shape[:2]
+    patch = int(patch_size or predictor.manifest.get("patch_size", 400))
+    windows = generate_windows(h, w, patch, patch_overlap)
+    n_out = int(predictor.manifest.get("n_out", 2))
+    mosaic = DeviceMosaic(h, w, n_out)
+
+    bs = predictor.batch_size
+    for start in range(0, len(windows), bs):
+        chunk = windows[start : start + bs]
+        batch = np.stack([hwc[win.indices()] for win in chunk])
+        if len(chunk) < bs:
+            batch = np.concatenate(
+                [batch, np.repeat(batch[-1:], bs - len(chunk), axis=0)], axis=0
+            )
+        probs = predictor.predict_batch_device(batch)[: len(chunk)]
+        mosaic.add_batch(
+            probs,
+            np.asarray([win.y for win in chunk], np.int32),
+            np.asarray([win.x for win in chunk], np.int32),
+        )
+
+    summed, counter = mosaic.finalize()
+    out, nodata = finalize_mosaic(
+        summed, counter, regression=regression,
+        all_classes=all_classes, specific_class=specific_class,
+    )
+    if class_zero:
+        out = _apply_class_zero(out, nodata)
+    if output_path is not None:
+        write_raster(output_path, np.asarray(out), transform=scene.transform,
+                     crs=scene.crs, nodata=nodata)
+    return np.asarray(out), scene.transform, scene.crs
+
+
 def save_predictions(
     predict_model: str,
     predict_path: str,
