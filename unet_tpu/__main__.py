@@ -61,6 +61,17 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--validation-vision", action="store_true")
     pr.add_argument("--batch-size", type=int, default=16)
 
+    sv = sub.add_parser("serve", help="predict a whole GeoTIFF directly (no tile files)")
+    sv.add_argument("model")
+    sv.add_argument("raster")
+    sv.add_argument("output")
+    sv.add_argument("--patch-size", type=int, default=None)
+    sv.add_argument("--patch-overlap", type=float, default=0.2)
+    sv.add_argument("--batch-size", type=int, default=16)
+    sv.add_argument("--regression", action="store_true")
+    sv.add_argument("--all-classes", action="store_true")
+    sv.add_argument("--specific-class", type=int, default=None)
+
     bench = sub.add_parser("bench", help="run the training/inference benchmark")
     bench.add_argument("--tile", type=int, default=512)
     bench.add_argument("--batch-size", type=int, default=8)
@@ -102,6 +113,17 @@ def cli(argv=None) -> int:
                                args.aoi, args.year, args.validation_vision,
                                batch_size=args.batch_size)
         print(f"Predictions at {out}")
+    elif args.command == "serve":
+        from .predict import predict_raster
+
+        arr, _, _ = predict_raster(args.model, args.raster, args.output,
+                                   patch_size=args.patch_size,
+                                   patch_overlap=args.patch_overlap,
+                                   batch_size=args.batch_size,
+                                   regression=args.regression,
+                                   all_classes=args.all_classes,
+                                   specific_class=args.specific_class)
+        print(f"Mosaic {arr.shape} written to {args.output}")
     elif args.command == "bench":
         from .bench import run_benchmark
 
