@@ -171,3 +171,24 @@ class TestServeRaster:
         r = read_raster(out_path)
         np.testing.assert_array_equal(r.data[0], arr)
         assert r.crs == "EPSG:25833"
+
+    def test_mixed_size_tiles_grouped(self, trained_bundle, pred_tiles, tmp_path):
+        """Batched prediction must handle folders with mixed tile sizes
+        (the reference's batch-of-1 loop never hits this)."""
+        import shutil
+
+        root, ip, bundle, base = trained_bundle
+        mixed = tmp_path / "mixed"
+        mixed.mkdir()
+        for i, t in enumerate(sorted(pred_tiles.glob("*.tif"))[:5]):
+            shutil.copy(t, mixed / t.name)
+        # one odd-size tile
+        from unet_tpu.geo import read_raster as rr, write_raster as wr
+        scene = rr(ip)
+        wr(mixed / "odd_48.tif", scene.data[:, :48, :48],
+           transform=scene.transform, crs=scene.crs)
+        out = save_predictions(str(bundle), str(mixed), merge=False,
+                               validation_vision=False, batch_size=4)
+        outs = {p.name for p in out.glob("*.tif")}
+        assert len(outs) == 6 and "odd_48.tif" in outs
+        assert read_raster(out / "odd_48.tif").data.shape == (1, 48, 48)

@@ -151,3 +151,25 @@ class TestAlignment:
         msk = Raster(np.ones((1, 10, 10), np.uint8), transform=T)
         ai, am = align_image_and_mask(img, msk)
         assert ai is img and am is msk
+
+
+class TestMultiScene:
+    def test_two_scenes_accumulate_in_one_base_dir(self, tmp_path, rng):
+        """The reference tiles multiple scenes into the same base_dir
+        sequentially (create_tiles_train_predict_multi.py:136-146); tiles
+        accumulate because filenames are keyed by the source image name."""
+        base = tmp_path / "tiles"
+        total = 0
+        for name in ("sceneA", "sceneB"):
+            img = rng.integers(1, 255, size=(3, 80, 80)).astype(np.uint8)
+            msk = rng.integers(1, 3, size=(1, 80, 80)).astype(np.uint8)
+            ip, mp = tmp_path / f"{name}.tif", tmp_path / f"{name}_m.tif"
+            write_raster(ip, img, transform=T, nodata=0)
+            write_raster(mp, msk, transform=T, nodata=0)
+            total += split_raster(str(ip), str(mp), str(base), patch_size=40,
+                                  patch_overlap=0, split=[0.8, 0.2], seed=1)
+        names = [p.name for d in ("trai", "vali")
+                 for p in (base / d / "img_tiles").glob("*.tif")]
+        assert len(names) == total == 8
+        assert any(n.startswith("sceneA") for n in names)
+        assert any(n.startswith("sceneB") for n in names)

@@ -185,6 +185,19 @@ def save_predictions(
         raise FileNotFoundError(f"No .tif tiles under {path}")
     print(f"Started at: {time.strftime('%H:%M:%S')} — {len(tiles)} tiles")
 
+    # batched inference needs uniform shapes; group mixed-size tiles by
+    # (H, W) and process group-wise (the reference predicts one tile at a
+    # time so never hits this, predict.py:193)
+    from ..geo import tiff as tiff_codec
+
+    by_shape: dict = {}
+    for t in tiles:
+        info = tiff_codec.read_info(str(t))
+        by_shape.setdefault((info.height, info.width), []).append(t)
+    if len(by_shape) > 1:
+        print(f"{len(by_shape)} distinct tile sizes; predicting group-wise")
+    tiles = [t for group in by_shape.values() for t in group]
+
     accumulator: Optional[MosaicAccumulator] = None
     device_mosaic = None
     tile_rows = tile_cols = None
@@ -204,10 +217,23 @@ def save_predictions(
     bs = predictor.batch_size
     n_batches = (len(tiles) + bs - 1) // bs
     report_every = max(n_batches // 10, 1)
-    for batch_idx, start in enumerate(range(0, len(tiles), bs)):
+    # batch within shape groups only (group boundaries never straddle a batch)
+    batch_starts = []
+    offset = 0
+    for group in by_shape.values():
+        batch_starts.extend(range(offset, offset + len(group), bs))
+        offset += len(group)
+    group_ends = {}
+    offset = 0
+    for group in by_shape.values():
+        for s in range(offset, offset + len(group), bs):
+            group_ends[s] = min(s + bs, offset + len(group))
+        offset += len(group)
+
+    for batch_idx, start in enumerate(batch_starts):
         if batch_idx % report_every == 0:
             print(f"Processing tiles: {start}/{len(tiles)}", flush=True)
-        chunk = tiles[start : start + bs]
+        chunk = tiles[start : group_ends[start]]
         rasters = [read_raster(t) for t in chunk]
         batch = np.stack([np.moveaxis(r.data.astype(np.float32), 0, 2) for r in rasters])
         if len(chunk) < bs:  # pad final batch
