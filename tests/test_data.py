@@ -221,3 +221,22 @@ class TestAugment:
         gray = np.mean(np.asarray(imgs), axis=-1, keepdims=True)
         want = gray + (np.asarray(imgs) - gray) * 0.5
         np.testing.assert_allclose(np.asarray(out_i), want, rtol=1e-4, atol=1e-3)
+
+    def test_fused_path_matches_jnp_path(self, rng):
+        """The Pallas fused flip/scale path (interpret mode) must produce
+        exactly what the jnp path produces for the same key."""
+        imgs, msks = self._batch(rng, b=4, h=32, w=32)
+        cfg = AugmentConfig(hflip_p=0.5, vflip_p=0.5)
+        key = jax.random.PRNGKey(42)
+        ref_i, ref_m = augment_batch(key, imgs, msks, cfg, n_transform_imgs=1.0,
+                                     dtype_str="int16", use_fused=False)
+        import unet_tpu.ops.pallas_aug as pa
+        orig = pa.fused_flip_scale
+        try:
+            pa.fused_flip_scale = lambda *a, **k: orig(*a, interpret=True, **{kk: vv for kk, vv in k.items() if kk != "interpret"})
+            got_i, got_m = augment_batch(key, imgs, msks, cfg, n_transform_imgs=1.0,
+                                         dtype_str="int16", use_fused=True)
+        finally:
+            pa.fused_flip_scale = orig
+        np.testing.assert_allclose(np.asarray(got_i), np.asarray(ref_i), rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(got_m), np.asarray(ref_m))

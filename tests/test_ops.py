@@ -49,3 +49,60 @@ class TestBlend:
         assert summed.shape == (3, 32, 48)
         assert counter.shape == (32, 48)
         assert counter[0, 0] == 1 and counter[12, 12] == 2 and counter[30, 40] == 0
+
+
+class TestFusedFlipScale:
+    def _data(self, rng, b=4, h=32, w=16, c=3):
+        imgs = jnp.asarray(rng.normal(size=(b, h, w, c)).astype(np.float32))
+        msks = jnp.asarray(rng.integers(0, 3, size=(b, h, w)).astype(np.int32))
+        return imgs, msks
+
+    def _reference(self, imgs, msks, hf, vf, scales):
+        out_i = np.array(imgs)
+        out_m = np.array(msks)
+        for b in range(imgs.shape[0]):
+            if hf[b]:
+                out_i[b] = out_i[b, :, ::-1]
+                out_m[b] = out_m[b, :, ::-1]
+            if vf[b]:
+                out_i[b] = out_i[b, ::-1]
+                out_m[b] = out_m[b, ::-1]
+            out_i[b] *= scales[b]
+        return out_i, out_m
+
+    def test_all_flag_combinations(self, rng):
+        from unet_tpu.ops.pallas_aug import fused_flip_scale
+
+        imgs, msks = self._data(rng, b=4)
+        hf = np.array([False, True, False, True])
+        vf = np.array([False, False, True, True])
+        scales = np.array([1.0, 0.5, 2.0, 1.0 / 255], np.float32)
+        got_i, got_m = fused_flip_scale(imgs, msks, jnp.asarray(hf), jnp.asarray(vf),
+                                        jnp.asarray(scales), interpret=True)
+        want_i, want_m = self._reference(imgs, msks, hf, vf, scales)
+        np.testing.assert_allclose(np.asarray(got_i), want_i, rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(got_m), want_m)
+
+    def test_multi_row_block_mirroring(self, rng):
+        """Heights with several row blocks exercise the mirrored index map."""
+        from unet_tpu.ops.pallas_aug import fused_flip_scale
+
+        imgs, msks = self._data(rng, b=2, h=64, w=8)
+        hf = np.array([False, True])
+        vf = np.array([True, True])
+        scales = np.ones(2, np.float32)
+        got_i, got_m = fused_flip_scale(imgs, msks, jnp.asarray(hf), jnp.asarray(vf),
+                                        jnp.asarray(scales), interpret=True)
+        want_i, want_m = self._reference(imgs, msks, hf, vf, scales)
+        np.testing.assert_allclose(np.asarray(got_i), want_i, rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(got_m), want_m)
+
+    def test_no_mask(self, rng):
+        from unet_tpu.ops.pallas_aug import fused_flip_scale
+
+        imgs, _ = self._data(rng, b=2)
+        got_i, got_m = fused_flip_scale(imgs, None, jnp.asarray([True, False]),
+                                        jnp.asarray([False, False]),
+                                        jnp.ones(2, jnp.float32), interpret=True)
+        assert got_m is None
+        np.testing.assert_allclose(np.asarray(got_i)[0], np.asarray(imgs)[0, :, ::-1], rtol=1e-6)

@@ -189,6 +189,11 @@ def _augment(
     return images, masks
 
 
+def _flips_only(cfg: AugmentConfig) -> bool:
+    return (cfg.rot90_p == 0 and cfg.brightness_contrast_p == 0
+            and cfg.saturation_p == 0 and cfg.coarse_dropout_p == 0)
+
+
 def augment_batch(
     key: Array,
     images: Array,
@@ -200,15 +205,22 @@ def augment_batch(
     split: str = "train",
     split_idx: Optional[int] = 0,
     reference_quirks: bool = False,
+    use_fused: Optional[bool] = None,
 ) -> Tuple[Array, Optional[Array]]:
     """Scale + (conditionally) augment one device batch.
 
     ``images``: (B,H,W,C) raw tile values as float32. Scaling is always
     applied; geometric/photometric augmentation only when ``split`` matches
     ``split_idx`` (0=train, 1=valid, None=both).
+
+    On TPU, the default flip-only pipeline routes through the fused Pallas
+    kernel (ops/pallas_aug.py): one HBM read + one write per tile instead of
+    a scaling pass plus a materialized copy per flip. Randomness matches the
+    jnp path exactly (same key splits).
     """
+    b = images.shape[0]
     scale = image_scale(dtype_str, normalize)
-    n_aug = n_augmented(images.shape[0], n_transform_imgs, reference_quirks)
+    n_aug = n_augmented(b, n_transform_imgs, reference_quirks)
     active = split_idx is None or (split_idx == 0 and split == "train") or (
         split_idx == 1 and split == "valid"
     )
@@ -216,10 +228,26 @@ def augment_batch(
         # reference scales augmented int16 images by 255/65535 instead of
         # 1/255 (utils.py:264 vs :288) — a 0.8% mismatch it trains with
         quirk = (255.0 / 65535.0) / scale
-        per_img = jnp.where(jnp.arange(images.shape[0]) < n_aug, scale * quirk, scale)
-        images = images * per_img[:, None, None, None]
+        scales = jnp.where(jnp.arange(b) < n_aug, scale * quirk, scale)
     else:
-        images = images * scale
+        scales = jnp.full((b,), scale, jnp.float32)
+
+    if active and n_aug > 0 and _flips_only(cfg):
+        if use_fused is None:
+            # experimental: the fused kernel is correctness-tested (interpret
+            # mode) but the axon Mosaic build crashes compiling it — opt-in
+            # until the lowering issue is resolved (see BENCH_NOTES.md)
+            use_fused = False
+        if use_fused:
+            from ..ops.pallas_aug import fused_flip_scale
+
+            in_range = jnp.arange(b) < n_aug
+            keys = jax.random.split(key, 6)  # same structure as _augment
+            hf = in_range & (jax.random.uniform(keys[0], (b,)) < cfg.hflip_p)
+            vf = in_range & (jax.random.uniform(keys[1], (b,)) < cfg.vflip_p)
+            return fused_flip_scale(images, masks, hf, vf, scales)
+
+    images = images * scales[:, None, None, None]
     if not active or n_aug == 0:
         return images, masks
     return _augment(key, images, masks, cfg, n_aug, value_max(dtype_str, normalize))

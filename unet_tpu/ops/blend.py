@@ -112,11 +112,14 @@ class DeviceMosaic:
     both. ``finalize()`` fetches the mosaic to host once and divides.
     """
 
-    def __init__(self, height: int, width: int, n_classes: int, use_pallas: bool = True):
+    def __init__(self, height: int, width: int, n_classes: int, use_pallas: bool = False):
         self.n_classes = n_classes
         self.buf = jnp.zeros((height, width, n_classes + 1), jnp.float32)
-        backend = jax.default_backend()
-        self.use_pallas = use_pallas and backend == "tpu"
+        # the Pallas kernel is correctness-verified (interpret mode) but the
+        # current axon Mosaic build crashes on DMA offsets derived from
+        # scalar-prefetch values (platform bug, see BENCH_NOTES.md); the XLA
+        # scan path gives the same on-device accumulation and is the default
+        self.use_pallas = use_pallas and jax.default_backend() == "tpu"
 
     def add_batch(self, probs: jax.Array, rows: np.ndarray, cols: np.ndarray) -> None:
         """probs: (N, th, tw, C) device array; rows/cols host offsets."""
