@@ -140,3 +140,54 @@ class TestTorchImport:
         np.testing.assert_allclose(
             np.asarray(new_vars["params"]["encoder"]["stem_1"]["conv"]["kernel"]),
             np.transpose(sd["1.0.weight"], (2, 3, 1, 0)))
+
+
+class TestBottleneckParity:
+    def test_expansion4_resblock_matches_torch(self):
+        """xresnet50/101 bottleneck: 1x1 → 3x3(s) → 1x1(zero-BN) with
+        avg-pool+1x1 identity path; verify numerics against torch."""
+        from unet_tpu.models.layers import ResBlock
+
+        torch.manual_seed(3)
+        ni_exp, nf = 64, 32  # in 64 channels, out nf*4 = 128
+        convpath = tnn.Sequential(
+            conv_layer(ni_exp, nf, 1),
+            conv_layer(nf, nf, 3, stride=2),
+            conv_layer(nf, nf * 4, 1, act=False, zero_bn=True),
+        )
+        idpath = tnn.Sequential(tnn.AvgPool2d(2, ceil_mode=True),
+                                conv_layer(ni_exp, nf * 4, 1, act=False))
+        act = tnn.ReLU()
+        # randomize BN affines/stats so the check is nontrivial
+        with torch.no_grad():
+            for m in list(convpath.modules()) + list(idpath.modules()):
+                if isinstance(m, tnn.BatchNorm2d):
+                    m.bias.add_(torch.randn_like(m.bias) * 0.2)
+                    m.running_mean.add_(torch.randn_like(m.running_mean) * 0.1)
+                    m.running_var.mul_(1.3)
+        convpath.eval(); idpath.eval()
+
+        x = np.random.default_rng(4).normal(size=(2, ni_exp, 16, 16)).astype(np.float32)
+        with torch.no_grad():
+            want = act(convpath(torch.from_numpy(x)) + idpath(torch.from_numpy(x))).numpy()
+
+        def cv(prefix, seq_idx):
+            conv = dict(convpath.state_dict()) if prefix == "convpath" else dict(idpath.state_dict())
+            w = conv[f"{seq_idx}.0.weight"].numpy()
+            return {
+                "conv": {"kernel": np.transpose(w, (2, 3, 1, 0))},
+                "bn": {"scale": conv[f"{seq_idx}.1.weight"].numpy(),
+                       "bias": conv[f"{seq_idx}.1.bias"].numpy()},
+            }, {"bn": {"mean": conv[f"{seq_idx}.1.running_mean"].numpy(),
+                       "var": conv[f"{seq_idx}.1.running_var"].numpy()}}
+
+        params, stats = {}, {}
+        for i, name in enumerate(["conv1", "conv2", "conv3"]):
+            params[name], stats[name] = cv("convpath", i)
+        params["idconv"], stats["idconv"] = cv("idpath", 1)
+
+        block = ResBlock(expansion=4, nf=nf, stride=2, dtype=jnp.float32)
+        got = block.apply({"params": params, "batch_stats": stats},
+                          jnp.asarray(np.moveaxis(x, 1, 3)), False)
+        np.testing.assert_allclose(np.moveaxis(np.asarray(got), 3, 1), want,
+                                   rtol=1e-3, atol=1e-4)

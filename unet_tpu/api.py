@@ -49,6 +49,7 @@ class Params:
     description: str = "model"
     info: str = ""
     existing_model: Optional[str] = None
+    pretrained_weights: Optional[str] = None  # torch xresnet state_dict (.pth)
     BATCH_SIZE: int = 4
     EPOCHS: int = 15
     LEARNING_RATE: float = 0.0001
@@ -145,6 +146,7 @@ def trainer_config(p: Params) -> TrainerConfig:
         n_transform_imgs=p.n_transform_imgs,
         aug=p.aug_pipe,
         existing_model=p.existing_model,
+        pretrained_weights=p.pretrained_weights,
         export_model_summary=p.export_model_summary,
         visualize_data_example=p.visualize_data_example,
         info=p.info,
