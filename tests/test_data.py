@@ -240,3 +240,13 @@ class TestAugment:
             pa.fused_flip_scale = orig
         np.testing.assert_allclose(np.asarray(got_i), np.asarray(ref_i), rtol=1e-6)
         np.testing.assert_array_equal(np.asarray(got_m), np.asarray(ref_m))
+
+
+class TestLoaderDeterminism:
+    def test_same_seed_same_order(self, dataset_dir):
+        ds = TileDataset(dataset_dir)
+        a = TileLoader(ds, ds.train_files, batch_size=4, shuffle=True, drop_last=True, seed=5)
+        b = TileLoader(ds, ds.train_files, batch_size=4, shuffle=True, drop_last=True, seed=5)
+        for (ia, ma, _), (ib, mb, _) in zip(a, b):
+            np.testing.assert_array_equal(ia, ib)
+            np.testing.assert_array_equal(ma, mb)

@@ -173,3 +173,45 @@ class TestMultiScene:
         assert len(names) == total == 8
         assert any(n.startswith("sceneA") for n in names)
         assert any(n.startswith("sceneB") for n in names)
+
+
+class TestInvariants:
+    def test_full_coverage_property(self):
+        """Every pixel is covered by at least one window for a sweep of
+        sizes/overlaps (the reference relies on slidingwindow guaranteeing
+        this for its prediction mosaics)."""
+        rng = np.random.default_rng(9)
+        for _ in range(25):
+            h = int(rng.integers(40, 300))
+            w = int(rng.integers(40, 300))
+            patch = int(rng.integers(16, min(h, w) + 1))
+            overlap = float(rng.choice([0.0, 0.1, 0.2, 0.33, 0.5]))
+            cover = np.zeros((h, w), bool)
+            for win in generate_windows(h, w, patch, overlap):
+                rs, cs = win.indices()
+                cover[rs, cs] = True
+            assert cover.all(), f"gap at h={h} w={w} patch={patch} ov={overlap}"
+
+    def test_tiling_golden_hash(self, tmp_path):
+        """Deterministic end-to-end tiling fingerprint: catches silent
+        regressions in window geometry, nodata zeroing, filtering, dtype
+        conversion, or TIFF encoding across rounds (pure numpy — platform
+        independent)."""
+        import hashlib
+
+        rng = np.random.default_rng(20260816)
+        img = rng.integers(1, 255, size=(3, 100, 100)).astype(np.uint8)
+        msk = rng.integers(1, 3, size=(1, 100, 100)).astype(np.uint8)
+        img[:, :15, :] = 0
+        msk[:, :15, :] = 0
+        ip, mp = tmp_path / "g.tif", tmp_path / "gm.tif"
+        write_raster(ip, img, transform=T, crs="EPSG:25833", nodata=0)
+        write_raster(mp, msk, transform=T, crs="EPSG:25833", nodata=0)
+        base = tmp_path / "tiles"
+        split_raster(str(ip), str(mp), str(base), patch_size=40, patch_overlap=0.25,
+                     split=[1.0, 0.0], max_empty=0.5, seed=77)
+        h = hashlib.sha256()
+        for p in sorted(base.rglob("*.tif")):
+            h.update(p.name.encode())
+            h.update(p.read_bytes())
+        assert h.hexdigest() == "d20dd2f1453a7c57abcc22f53afa945228c7c30ed0aed38973b8fffc63824e05"

@@ -158,6 +158,10 @@ class Trainer:
                 f"under {self.data_path} contains img_tiles"
             )
 
+    def close(self) -> None:
+        self.train_loader.close()
+        self.valid_loader.close()
+
         sample_img, _ = self.dataset.load_pair(self.dataset.train_files[0])
         self.c_in = sample_img.shape[0]
         self.tile_hw = sample_img.shape[1:]
@@ -530,6 +534,13 @@ def train_model(cfg: TrainerConfig) -> Path:
     summary, training, loss plot, bundle export.
     """
     trainer = Trainer(cfg)
+    try:
+        return _train_model(trainer, cfg)
+    finally:
+        trainer.close()
+
+
+def _train_model(trainer: "Trainer", cfg: TrainerConfig) -> Path:
     print(f"Train files: {trainer.dataset.n_train}, Test files: {trainer.dataset.n_valid}")
     if not cfg.regression:
         print(f"Class weights: {trainer.class_weights}")
