@@ -158,10 +158,6 @@ class Trainer:
                 f"under {self.data_path} contains img_tiles"
             )
 
-    def close(self) -> None:
-        self.train_loader.close()
-        self.valid_loader.close()
-
         sample_img, _ = self.dataset.load_pair(self.dataset.train_files[0])
         self.c_in = sample_img.shape[0]
         self.tile_hw = sample_img.shape[1:]
@@ -187,6 +183,10 @@ class Trainer:
         from ..utils.profiling import StepTimer
 
         self.timer = StepTimer()
+
+    def close(self) -> None:
+        self.train_loader.close()
+        self.valid_loader.close()
 
     # --- state ----------------------------------------------------------------
 
