@@ -98,6 +98,202 @@ def test_read_pil_written_file(tmp_path, rng):
     np.testing.assert_array_equal(back, np.moveaxis(hwc, 2, 0))
 
 
+# --- real-world format coverage: tiled / LZW / PackBits / BigTIFF / MM ------
+
+
+@pytest.mark.parametrize("compress", [None, "deflate", "lzw", "packbits"])
+def test_roundtrip_compressions(tmp_path, rng, compress):
+    arr = rng.integers(0, 255, size=(3, 70, 45)).astype(np.uint8)
+    p = tmp_path / "c.tif"
+    tiff.write(str(p), arr, transform=TRANSFORM, compress=compress)
+    back, info = tiff.read(str(p))
+    np.testing.assert_array_equal(back, arr)
+    assert np.allclose(info.transform, TRANSFORM)
+
+
+@pytest.mark.parametrize("compress", [None, "deflate", "lzw", "packbits"])
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.float32])
+def test_roundtrip_tiled(tmp_path, rng, compress, dtype):
+    """Tiled organization (tags 322-325) — how real orthophotos are stored."""
+    if np.issubdtype(dtype, np.floating):
+        arr = rng.normal(size=(4, 100, 77)).astype(dtype)
+    else:
+        arr = rng.integers(0, 200, size=(4, 100, 77)).astype(dtype)
+    p = tmp_path / "t.tif"
+    tiff.write(str(p), arr, transform=TRANSFORM, crs="EPSG:25833",
+               compress=compress, tile=(32, 48))
+    back, info = tiff.read(str(p))
+    np.testing.assert_array_equal(back, arr)
+    assert info.crs == "EPSG:25833"
+
+
+def test_tiled_with_predictor(tmp_path, rng):
+    arr = rng.integers(0, 60000, size=(2, 64, 64)).astype(np.uint16)
+    p = tmp_path / "tp.tif"
+    tiff.write(str(p), arr, compress="lzw", tile=(32, 32), predictor=True)
+    back, _ = tiff.read(str(p))
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_tile_dims_must_be_multiple_of_16(tmp_path, rng):
+    arr = rng.integers(0, 255, size=(1, 32, 32)).astype(np.uint8)
+    with pytest.raises(ValueError, match="multiples of 16"):
+        tiff.write(str(tmp_path / "x.tif"), arr, tile=(20, 32))
+
+
+@pytest.mark.parametrize("compress", [None, "deflate", "lzw"])
+def test_roundtrip_bigtiff(tmp_path, rng, compress):
+    arr = rng.integers(0, 4000, size=(3, 90, 60)).astype(np.uint16)
+    p = tmp_path / "big.tif"
+    tiff.write(str(p), arr, transform=TRANSFORM, crs="EPSG:4326",
+               nodata=0, compress=compress, bigtiff=True)
+    with open(p, "rb") as f:
+        assert f.read(4)[2:] == b"\x2b\x00"  # magic 43 little-endian
+    back, info = tiff.read(str(p))
+    np.testing.assert_array_equal(back, arr)
+    assert info.crs == "EPSG:4326" and info.nodata == 0
+
+
+def test_roundtrip_bigtiff_tiled(tmp_path, rng):
+    arr = rng.integers(0, 255, size=(4, 70, 70)).astype(np.uint8)
+    p = tmp_path / "bt.tif"
+    tiff.write(str(p), arr, compress="deflate", tile=(32, 32), bigtiff=True)
+    back, _ = tiff.read(str(p))
+    np.testing.assert_array_equal(back, arr)
+
+
+@pytest.mark.parametrize("dtype", [np.uint8, np.uint16, np.int16, np.float32])
+def test_roundtrip_bigendian(tmp_path, rng, dtype):
+    """MM byte order: both container metadata and pixel data."""
+    if np.issubdtype(dtype, np.floating):
+        arr = rng.normal(size=(3, 33, 29)).astype(dtype)
+    else:
+        arr = rng.integers(0, 127, size=(3, 33, 29)).astype(dtype)
+    p = tmp_path / "mm.tif"
+    tiff.write(str(p), arr, transform=TRANSFORM, crs="EPSG:25833",
+               byteorder=">")
+    with open(p, "rb") as f:
+        assert f.read(2) == b"MM"
+    back, info = tiff.read(str(p))
+    np.testing.assert_array_equal(back, arr)
+    assert back.dtype == dtype  # returned in native order
+    assert info.crs == "EPSG:25833"
+
+
+def test_roundtrip_bigendian_bigtiff_tiled_lzw(tmp_path, rng):
+    """The worst case all at once."""
+    arr = rng.integers(0, 60000, size=(5, 83, 51)).astype(np.uint16)
+    p = tmp_path / "worst.tif"
+    tiff.write(str(p), arr, transform=TRANSFORM, byteorder=">",
+               bigtiff=True, tile=(16, 32), compress="lzw", predictor=True)
+    back, info = tiff.read(str(p))
+    np.testing.assert_array_equal(back, arr)
+    assert np.allclose(info.transform, TRANSFORM)
+
+
+def test_float_predictor_roundtrip(tmp_path, rng):
+    """TIFF predictor 3 (floating point byte-plane differencing)."""
+    arr = rng.normal(size=(2, 40, 30)).astype(np.float32)
+    p = tmp_path / "fp.tif"
+    tiff.write(str(p), arr, compress="deflate", predictor=True)
+    info = tiff.read_info(str(p))
+    assert info.tags.get(tiff.TAG_PREDICTOR) == 3
+    back, _ = tiff.read(str(p))
+    np.testing.assert_array_equal(back, arr)
+
+
+def test_lzw_codec_pure():
+    """LZW encode/decode round-trip on assorted payloads."""
+    rng = np.random.default_rng(7)
+    for payload in (
+        b"",
+        b"A",
+        b"TOBEORNOTTOBEORTOBEORNOT" * 10,
+        bytes(rng.integers(0, 256, 5000, dtype=np.uint8)),   # incompressible
+        bytes(rng.integers(0, 4, 70000, dtype=np.uint8)),    # forces table reset
+        b"\x00" * 10000,
+    ):
+        assert tiff.lzw_decode(tiff.lzw_encode(payload)) == payload
+
+
+def test_packbits_codec_pure():
+    rng = np.random.default_rng(8)
+    for payload in (
+        b"",
+        b"\xaa" * 300,
+        bytes(rng.integers(0, 256, 1000, dtype=np.uint8)),
+        b"ab" + b"\x00" * 130 + b"xyz",
+    ):
+        assert tiff.packbits_decode(tiff.packbits_encode(payload)) == payload
+
+
+def test_read_pil_written_lzw(tmp_path, rng):
+    """Cross-validate our LZW decoder against libtiff-written streams."""
+    from PIL import Image
+
+    hwc = rng.integers(0, 255, size=(64, 80, 3)).astype(np.uint8)
+    p = tmp_path / "pil_lzw.tif"
+    Image.fromarray(hwc, mode="RGB").save(p, compression="tiff_lzw")
+    info = tiff.read_info(str(p))
+    assert info.tags.get(tiff.TAG_COMPRESSION) == tiff.COMP_LZW
+    back, _ = tiff.read(str(p))
+    np.testing.assert_array_equal(back, np.moveaxis(hwc, 2, 0))
+
+
+def test_read_pil_written_packbits(tmp_path, rng):
+    from PIL import Image
+
+    hw = (rng.integers(0, 5, size=(33, 47)) * 40).astype(np.uint8)
+    p = tmp_path / "pil_pb.tif"
+    Image.fromarray(hw).save(p, compression="packbits")
+    back, _ = tiff.read(str(p))
+    np.testing.assert_array_equal(back[0], hw)
+
+
+def test_pil_reads_our_lzw(tmp_path, rng):
+    """And the reverse: libtiff decodes streams our encoder produced."""
+    from PIL import Image
+
+    arr = rng.integers(0, 255, size=(1, 120, 90)).astype(np.uint8)
+    p = tmp_path / "ours_lzw.tif"
+    tiff.write(str(p), arr, compress="lzw")
+    with Image.open(p) as im:
+        np.testing.assert_array_equal(np.asarray(im), arr[0])
+
+
+def test_pil_reads_our_tiled(tmp_path, rng):
+    from PIL import Image
+
+    arr = rng.integers(0, 255, size=(1, 70, 90)).astype(np.uint8)
+    p = tmp_path / "ours_tiled.tif"
+    tiff.write(str(p), arr, tile=(32, 32))
+    with Image.open(p) as im:
+        np.testing.assert_array_equal(np.asarray(im), arr[0])
+
+
+def test_unsupported_compression_names_feature(tmp_path, rng, monkeypatch):
+    """Errors must name the missing feature (VERDICT round 1)."""
+    arr = rng.integers(0, 255, size=(1, 16, 16)).astype(np.uint8)
+    p = tmp_path / "j.tif"
+    tiff.write(str(p), arr)
+    # forge the compression tag to JPEG (7) and confirm the reader names it
+    # when PIL cannot help
+    data = bytearray(p.read_bytes())
+    idx = data.find((259).to_bytes(2, "little"))
+    assert idx > 0
+    comp_off = idx + 8
+    data[comp_off : comp_off + 2] = (7).to_bytes(2, "little")
+    p.write_bytes(bytes(data))
+    info = tiff.read_info(str(p))
+    assert info.tags.get(tiff.TAG_COMPRESSION) == 7
+    import unet_tpu.geo.tiff as tmod
+
+    monkeypatch.setattr(tmod, "_pil_fallback_read",
+                        lambda path, info, reason: (_ for _ in ()).throw(ValueError(reason)))
+    with pytest.raises(ValueError, match="JPEG"):
+        tiff.read(str(p))
+
+
 def test_window_shifts_transform():
     arr = np.zeros((2, 100, 100), dtype=np.uint8)
     r = Raster(arr, transform=TRANSFORM, crs="EPSG:25833")

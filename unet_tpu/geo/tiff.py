@@ -1,18 +1,24 @@
-"""Minimal, dependency-free (Geo)TIFF codec.
+"""Dependency-free (Geo)TIFF codec.
 
 The reference stack delegates raster I/O to libgdal/rasterio (C libraries;
 see /root/reference/utils.py:39-48, create_tiles_unet.py:208-249,
 predict.py:19-52). Neither is available in this environment, so this module
-implements the subset of TIFF 6.0 + GeoTIFF that the pipeline needs:
+implements the subset of TIFF 6.0 + BigTIFF + GeoTIFF that real aerial
+imagery needs:
 
-* classic little-endian TIFF, strip-organized
+* classic TIFF **and BigTIFF**, little- **and big-endian**
+* **strip- and tile-organized** pixel data (tags 322/323/324/325)
 * dtypes: uint8, uint16, int16, int32, uint32, float32, float64
 * multi-band, PlanarConfiguration 1 (chunky) and 2 (planar) on read,
   chunky on write
-* Compression: 1 (none) and 8 (zlib/"adobe deflate"), horizontal predictor
+* Compression: 1 (none), 5 (**LZW**, read+write), 8/32946 (zlib/deflate),
+  32773 (**PackBits**, read+write); horizontal predictor (2) for ints and
+  floating-point predictor (3) for floats
 * GeoTIFF georeferencing: ModelPixelScaleTag + ModelTiepointTag (33550/33922)
   or ModelTransformationTag (34264), GeoKeyDirectory (34735) with EPSG codes,
   GeoAsciiParams (34737), GDAL_NODATA (42113)
+* anything else (e.g. JPEG-in-TIFF) falls back to PIL when available;
+  otherwise the error names the unsupported feature
 
 Geotransforms use the GDAL 6-tuple convention
 ``(ulx, xres, xrot, uly, yrot, yres)`` so tiling / mosaic math matches the
@@ -40,6 +46,10 @@ TAG_ROWS_PER_STRIP = 278
 TAG_STRIP_BYTE_COUNTS = 279
 TAG_PLANAR_CONFIG = 284
 TAG_PREDICTOR = 317
+TAG_TILE_WIDTH = 322
+TAG_TILE_LENGTH = 323
+TAG_TILE_OFFSETS = 324
+TAG_TILE_BYTE_COUNTS = 325
 TAG_EXTRA_SAMPLES = 338
 TAG_SAMPLE_FORMAT = 339
 TAG_MODEL_PIXEL_SCALE = 33550
@@ -64,9 +74,26 @@ TYPE_SLONG = 9
 TYPE_SRATIONAL = 10
 TYPE_FLOAT = 11
 TYPE_DOUBLE = 12
+TYPE_LONG8 = 16
+TYPE_SLONG8 = 17
+TYPE_IFD8 = 18
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8,
+              11: 4, 12: 8, 16: 8, 17: 8, 18: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d",
+             16: "Q", 17: "q", 18: "Q"}
+
+# compression codes
+COMP_NONE = 1
+COMP_LZW = 5
+COMP_JPEG = 7
+COMP_DEFLATE = 8
+COMP_DEFLATE_LEGACY = 32946
+COMP_PACKBITS = 32773
+
+_COMP_NAMES = {COMP_JPEG: "JPEG", 6: "old-style JPEG", 2: "CCITT RLE",
+               3: "CCITT G3", 4: "CCITT G4", 34712: "JPEG2000",
+               50000: "zstd", 50001: "webp", 34925: "LZMA"}
 
 # GeoKey ids
 GK_MODEL_TYPE = 1024
@@ -126,6 +153,291 @@ class TiffInfo:
     tags: Dict[int, object]
 
 
+# --- LZW (TIFF variant: MSB-first bit packing, early code-width change) -----
+
+
+def lzw_decode(data: bytes) -> bytes:
+    """Decode TIFF LZW (compression 5)."""
+    out = bytearray()
+    table: List[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    acc = 0
+    accbits = 0
+    pos = 0
+    n = len(data)
+    prev: Optional[bytes] = None
+    while True:
+        while accbits < width:
+            if pos >= n:
+                return bytes(out)
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            accbits += 8
+        accbits -= width
+        code = (acc >> accbits) & ((1 << width) - 1)
+        acc &= (1 << accbits) - 1  # keep the accumulator a small int
+        if code == 256:  # ClearCode
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == 257:  # EndOfInformation
+            return bytes(out)
+        if prev is None:
+            entry = table[code]
+        else:
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table):
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("Corrupt LZW stream (code beyond table)")
+            table.append(prev + entry[:1])
+        out += entry
+        prev = entry
+        # early change: width grows one code earlier than standard LZW
+        if len(table) >= (1 << width) - 1 and width < 12:
+            width += 1
+
+
+def lzw_encode(data: bytes) -> bytes:
+    """Encode TIFF LZW (compression 5). Cross-validated against PIL/libtiff.
+
+    The dictionary is keyed by ``(prefix_code, next_byte)`` int pairs (not
+    byte strings), keeping the encoder O(n) — byte-string keys degrade to
+    O(n²) on runs, which made multi-megabyte LZW writes take minutes.
+    """
+    out = bytearray()
+    acc = 0
+    accbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, accbits
+        acc = (acc << width) | code
+        accbits += width
+        while accbits >= 8:
+            accbits -= 8
+            out.append((acc >> accbits) & 0xFF)
+        acc &= (1 << accbits) - 1  # keep the accumulator a small int
+
+    table: Dict[Tuple[int, int], int] = {}
+    next_code = 258
+    width = 9
+    emit(256, width)  # initial ClearCode
+    if not data:
+        emit(257, width)
+        if accbits:
+            out.append((acc << (8 - accbits)) & 0xFF)
+        return bytes(out)
+    get = table.get
+    w = data[0]  # current prefix code (single bytes are codes 0-255)
+    for b in data[1:]:
+        code = get((w, b))
+        if code is not None:
+            w = code
+            continue
+        emit(w, width)
+        table[(w, b)] = next_code
+        next_code += 1
+        # The decoder's table lags the encoder's by exactly one entry (it
+        # appends on reading the NEXT code), and it widens at table size
+        # (1<<width)-1 ("early change"); so the encoder widens at
+        # next_code == (1<<width) — validated both ways against libtiff.
+        if next_code >= 4094:
+            emit(256, width)
+            table = {}
+            get = table.get
+            next_code = 258
+            width = 9
+        elif next_code == (1 << width):
+            width += 1
+        w = b
+    emit(w, width)
+    emit(257, width)  # EOI
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(out)
+
+
+# --- PackBits ----------------------------------------------------------------
+
+
+def packbits_decode(data: bytes, expected: Optional[int] = None) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and (expected is None or len(out) < expected):
+        h = data[i]
+        i += 1
+        if h < 128:  # literal run of h+1 bytes
+            out += data[i : i + h + 1]
+            i += h + 1
+        elif h > 128:  # repeat next byte 257-h times
+            out += data[i : i + 1] * (257 - h)
+            i += 1
+        # h == 128: no-op
+    return bytes(out)
+
+
+def packbits_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # find a run
+        j = i
+        while j < n - 1 and data[j] == data[j + 1] and j - i < 127:
+            j += 1
+        if j > i:  # run of length j-i+1 (>=2)
+            out.append(257 - (j - i + 1))
+            out.append(data[i])
+            i = j + 1
+            continue
+        # literal until the next run of >=3 (or 128 bytes)
+        j = i
+        while j < n and j - i < 128:
+            if j < n - 2 and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
+# --- predictors ---------------------------------------------------------------
+
+
+def _unpredict(arr: np.ndarray, predictor: int, dt: np.dtype) -> np.ndarray:
+    """Undo TIFF predictor on a (rows, width, channels) segment array."""
+    if predictor == 2:
+        # horizontal differencing per sample channel; modular wrap on the
+        # native integer dtype
+        native = arr.astype(dt.newbyteorder("="), copy=False)
+        return np.cumsum(native, axis=1, dtype=native.dtype)
+    return arr
+
+
+def _unpredict_float(raw: bytes, rows: int, width: int, channels: int,
+                     dt: np.dtype) -> np.ndarray:
+    """TIFF predictor 3 (floating point): per row, byte-delta decode then
+    reassemble values from byte planes (MSB plane first)."""
+    s = dt.itemsize
+    nvals = width * channels
+    b = np.frombuffer(raw, np.uint8, count=rows * nvals * s).reshape(rows, s * nvals)
+    b = np.cumsum(b, axis=1, dtype=np.uint8)
+    planes = b.reshape(rows, s, nvals)  # byte plane p = p-th significant byte
+    be = np.ascontiguousarray(planes.transpose(0, 2, 1))  # rows, vals, bytes
+    vals = np.frombuffer(be.tobytes(), dtype=dt.newbyteorder(">"))
+    return vals.reshape(rows, width, channels).astype(dt.newbyteorder("="))
+
+
+def _predict_float(seg: np.ndarray) -> bytes:
+    """Inverse of :func:`_unpredict_float` for the writer. ``seg`` is
+    (rows, width, channels) float."""
+    rows = seg.shape[0]
+    s = seg.dtype.itemsize
+    be = np.ascontiguousarray(seg.astype(seg.dtype.newbyteorder(">")))
+    b = np.frombuffer(be.tobytes(), np.uint8).reshape(rows, -1, s)
+    planes = np.ascontiguousarray(b.transpose(0, 2, 1)).reshape(rows, -1)
+    diff = planes.copy()
+    diff[:, 1:] = planes[:, 1:] - planes[:, :-1]
+    return diff.tobytes()
+
+
+# --- IFD parsing ---------------------------------------------------------------
+
+
+def read_info(path: str) -> TiffInfo:
+    """Parse the first IFD of a TIFF without decoding pixel data."""
+    with open(path, "rb") as f:
+        data = f.read()
+    return _parse_info(data)
+
+
+def _parse_info(data: bytes) -> TiffInfo:
+    if data[:2] == b"II":
+        bo = "<"
+    elif data[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("Not a TIFF file")
+    (magic,) = struct.unpack(bo + "H", data[2:4])
+    if magic == 42:  # classic TIFF
+        bigtiff = False
+        (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+    elif magic == 43:  # BigTIFF
+        bigtiff = True
+        offsize, pad, ifd_off = struct.unpack(bo + "HHQ", data[4:16])
+        if offsize != 8 or pad != 0:
+            raise ValueError(f"Malformed BigTIFF header (offsize={offsize})")
+    else:
+        raise ValueError(f"Not a TIFF file (magic={magic})")
+
+    tags: Dict[int, object] = {}
+    if bigtiff:
+        (n_entries,) = struct.unpack(bo + "Q", data[ifd_off : ifd_off + 8])
+        entry_base, entry_size, count_fmt, inline = ifd_off + 8, 20, "Q", 8
+    else:
+        (n_entries,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
+        entry_base, entry_size, count_fmt, inline = ifd_off + 2, 12, "I", 4
+
+    for i in range(n_entries):
+        off = entry_base + entry_size * i
+        tag, ftype = struct.unpack(bo + "HH", data[off : off + 4])
+        (count,) = struct.unpack(bo + count_fmt, data[off + 4 : off + 4 + (8 if bigtiff else 4)])
+        vpos = off + 4 + (8 if bigtiff else 4)
+        size = _TYPE_SIZE.get(ftype, 1) * count
+        if size <= inline:
+            raw = data[vpos : vpos + size]
+        else:
+            (voff,) = struct.unpack(bo + ("Q" if bigtiff else "I"), data[vpos : vpos + inline])
+            raw = data[voff : voff + size]
+        if ftype == TYPE_ASCII:
+            tags[tag] = raw.rstrip(b"\x00").decode("latin1")
+        elif ftype in _TYPE_FMT:
+            vals = struct.unpack(bo + _TYPE_FMT[ftype] * count, raw)
+            tags[tag] = vals[0] if count == 1 else list(vals)
+        elif ftype in (TYPE_RATIONAL, TYPE_SRATIONAL):
+            sub = "II" if ftype == TYPE_RATIONAL else "ii"
+            vals = struct.unpack(bo + sub * count, raw)
+            ratios = [vals[2 * k] / max(vals[2 * k + 1], 1) for k in range(count)]
+            tags[tag] = ratios[0] if count == 1 else ratios
+        else:
+            tags[tag] = raw
+
+    width = int(tags[TAG_IMAGE_WIDTH])
+    height = int(tags[TAG_IMAGE_LENGTH])
+    spp = int(tags.get(TAG_SAMPLES_PER_PIXEL, 1))
+    bits = tags.get(TAG_BITS_PER_SAMPLE, 8)
+    if isinstance(bits, list):
+        bits = bits[0]
+    sf = tags.get(TAG_SAMPLE_FORMAT, SF_UINT)
+    if isinstance(sf, list):
+        sf = sf[0]
+    dtype = _sf_to_dtype(int(sf), int(bits))
+
+    nodata = None
+    if TAG_GDAL_NODATA in tags:
+        try:
+            nodata = float(str(tags[TAG_GDAL_NODATA]).strip())
+        except ValueError:
+            nodata = None
+
+    tags["_byteorder"] = bo
+    tags["_bigtiff"] = bigtiff
+    return TiffInfo(
+        width=width,
+        height=height,
+        bands=spp,
+        dtype=dtype,
+        transform=_transform_from_tags(tags),
+        crs=_parse_geokeys(tags),
+        nodata=nodata,
+        tags=tags,
+    )
+
+
 def _parse_geokeys(tags: Dict[int, object]) -> Optional[str]:
     """Reconstruct a CRS string from the GeoKeyDirectory."""
     gkd = tags.get(TAG_GEO_KEY_DIRECTORY)
@@ -165,83 +477,53 @@ def _transform_from_tags(tags: Dict[int, object]) -> Optional[GeoTransform]:
     return (x - i * sx, sx, 0.0, y + j * sy, 0.0, -sy)
 
 
-def read_info(path: str) -> TiffInfo:
-    """Parse the first IFD of a TIFF without decoding pixel data."""
-    with open(path, "rb") as f:
-        data = f.read()
-    return _parse_info(data)
+# --- segment decoding -----------------------------------------------------------
 
 
-def _parse_info(data: bytes) -> TiffInfo:
-    if data[:2] == b"II":
-        bo = "<"
-    elif data[:2] == b"MM":
-        bo = ">"
+def _decompress(chunk: bytes, compression: int, expected: Optional[int] = None) -> bytes:
+    if compression == COMP_NONE:
+        return chunk
+    if compression in (COMP_DEFLATE, COMP_DEFLATE_LEGACY):
+        return zlib.decompress(chunk)
+    if compression == COMP_LZW:
+        return lzw_decode(chunk)
+    if compression == COMP_PACKBITS:
+        return packbits_decode(chunk, expected)
+    name = _COMP_NAMES.get(compression, str(compression))
+    raise ValueError(f"Unsupported TIFF compression: {name} (code {compression})")
+
+
+def _as_list(v) -> List[int]:
+    return list(v) if isinstance(v, list) else [v]
+
+
+def _pil_fallback_read(path: str, info: TiffInfo, reason: str) -> np.ndarray:
+    """Decode via PIL/libtiff for features outside the pure codec (e.g.
+    JPEG-in-TIFF). Returns (C, H, W)."""
+    try:
+        from PIL import Image
+    except ImportError:
+        raise ValueError(
+            f"{reason}; PIL fallback unavailable in this environment"
+        ) from None
+    Image.MAX_IMAGE_PIXELS = None
+    with Image.open(path) as im:
+        arr = np.asarray(im)
+    if arr.ndim == 2:
+        arr = arr[None]
     else:
-        raise ValueError("Not a TIFF file")
-    magic, ifd_off = struct.unpack(bo + "HI", data[2:8])
-    if magic != 42:
-        raise ValueError("Not a classic TIFF (BigTIFF unsupported)")
-    tags: Dict[int, object] = {}
-    (n_entries,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
-    for i in range(n_entries):
-        off = ifd_off + 2 + 12 * i
-        tag, ftype, count = struct.unpack(bo + "HHI", data[off : off + 8])
-        size = _TYPE_SIZE.get(ftype, 1) * count
-        if size <= 4:
-            raw = data[off + 8 : off + 8 + size]
-        else:
-            (voff,) = struct.unpack(bo + "I", data[off + 8 : off + 12])
-            raw = data[voff : voff + size]
-        if ftype == TYPE_ASCII:
-            tags[tag] = raw.rstrip(b"\x00").decode("latin1")
-        elif ftype in _TYPE_FMT:
-            vals = struct.unpack(bo + _TYPE_FMT[ftype] * count, raw)
-            tags[tag] = vals[0] if count == 1 else list(vals)
-        elif ftype in (TYPE_RATIONAL, TYPE_SRATIONAL):
-            sub = "II" if ftype == TYPE_RATIONAL else "ii"
-            vals = struct.unpack(bo + sub * count, raw)
-            ratios = [vals[2 * k] / max(vals[2 * k + 1], 1) for k in range(count)]
-            tags[tag] = ratios[0] if count == 1 else ratios
-        else:
-            tags[tag] = raw
-
-    width = int(tags[TAG_IMAGE_WIDTH])
-    height = int(tags[TAG_IMAGE_LENGTH])
-    spp = int(tags.get(TAG_SAMPLES_PER_PIXEL, 1))
-    bits = tags.get(TAG_BITS_PER_SAMPLE, 8)
-    if isinstance(bits, list):
-        bits = bits[0]
-    sf = tags.get(TAG_SAMPLE_FORMAT, SF_UINT)
-    if isinstance(sf, list):
-        sf = sf[0]
-    dtype = _sf_to_dtype(int(sf), int(bits))
-
-    nodata = None
-    if TAG_GDAL_NODATA in tags:
-        try:
-            nodata = float(str(tags[TAG_GDAL_NODATA]).strip())
-        except ValueError:
-            nodata = None
-
-    tags["_byteorder"] = bo
-    return TiffInfo(
-        width=width,
-        height=height,
-        bands=spp,
-        dtype=dtype,
-        transform=_transform_from_tags(tags),
-        crs=_parse_geokeys(tags),
-        nodata=nodata,
-        tags=tags,
-    )
+        arr = np.moveaxis(arr, 2, 0)
+    return np.ascontiguousarray(arr)
 
 
 def read(path: str) -> Tuple[np.ndarray, TiffInfo]:
     """Read a TIFF into a channels-first ``(C, H, W)`` numpy array.
 
     Mirrors rasterio's ``open(path).read()`` layout used throughout the
-    reference (create_tiles_unet.py:282, data.py:20).
+    reference (create_tiles_unet.py:282, data.py:20). Handles strip- and
+    tile-organized files, classic and BigTIFF, both byte orders, and
+    none/deflate/LZW/PackBits compression — the formats real aerial
+    orthophotos come in.
     """
     with open(path, "rb") as f:
         data = f.read()
@@ -249,54 +531,87 @@ def read(path: str) -> Tuple[np.ndarray, TiffInfo]:
     tags = info.tags
     bo = tags["_byteorder"]
 
-    offsets = tags[TAG_STRIP_OFFSETS]
-    counts = tags[TAG_STRIP_BYTE_COUNTS]
-    if not isinstance(offsets, list):
-        offsets, counts = [offsets], [counts]
     compression = int(tags.get(TAG_COMPRESSION, 1))
     predictor = int(tags.get(TAG_PREDICTOR, 1))
     planar = int(tags.get(TAG_PLANAR_CONFIG, 1))
-    rps = int(tags.get(TAG_ROWS_PER_STRIP, info.height))
     h, w, c = info.height, info.width, info.bands
     dt = info.dtype.newbyteorder(bo)
+    native = info.dtype.newbyteorder("=")
 
-    raw_parts: List[bytes] = []
-    for off, cnt in zip(offsets, counts):
-        chunk = data[off : off + cnt]
-        if compression == 1:
-            raw_parts.append(chunk)
-        elif compression in (8, 32946):  # deflate / legacy deflate
-            raw_parts.append(zlib.decompress(chunk))
+    try:
+        if TAG_TILE_OFFSETS in tags:
+            chw = _read_tiled(data, tags, info, compression, predictor, dt, planar)
         else:
-            raise ValueError(f"Unsupported TIFF compression {compression}")
+            chw = _read_striped(data, tags, info, compression, predictor, dt, planar)
+    except ValueError as e:
+        if "Unsupported TIFF compression" in str(e):
+            return _pil_fallback_read(path, info, str(e)), info
+        raise
+    return np.ascontiguousarray(chw.astype(native, copy=False)), info
+
+
+def _decode_segment(raw: bytes, rows: int, width: int, channels: int,
+                    predictor: int, dt: np.dtype) -> np.ndarray:
+    """Bytes of one strip/tile (chunky within the segment) → (rows, width,
+    channels) in native byte order."""
+    if predictor == 3:
+        return _unpredict_float(raw, rows, width, channels, dt)
+    arr = np.frombuffer(raw, dtype=dt, count=rows * width * channels)
+    arr = arr.reshape(rows, width, channels)
+    return _unpredict(arr, predictor, dt)
+
+
+def _read_striped(data, tags, info, compression, predictor, dt, planar) -> np.ndarray:
+    offsets = _as_list(tags[TAG_STRIP_OFFSETS])
+    counts = _as_list(tags[TAG_STRIP_BYTE_COUNTS])
+    h, w, c = info.height, info.width, info.bands
+    rps = int(tags.get(TAG_ROWS_PER_STRIP, h))
+    strips_per_plane = (h + rps - 1) // rps
+    itemsize = dt.itemsize
+
+    def strip(plane_idx: int, s: int, channels: int) -> np.ndarray:
+        rows = min(rps, h - s * rps)
+        i = plane_idx * strips_per_plane + s
+        raw = _decompress(data[offsets[i] : offsets[i] + counts[i]], compression,
+                          rows * w * channels * itemsize)
+        return _decode_segment(raw, rows, w, channels, predictor, dt)
 
     if planar == 1:
-        strips_per_image = (h + rps - 1) // rps
-        rows_decoded = []
-        for s in range(strips_per_image):
-            rows = min(rps, h - s * rps)
-            arr = np.frombuffer(raw_parts[s], dtype=dt, count=rows * w * c)
-            arr = arr.reshape(rows, w, c)
-            if predictor == 2:
-                arr = np.cumsum(arr, axis=1, dtype=dt)
-            rows_decoded.append(arr)
-        hwc = np.concatenate(rows_decoded, axis=0)
-        chw = np.ascontiguousarray(np.moveaxis(hwc, 2, 0)).astype(info.dtype)
-    else:  # planar == 2: one set of strips per band
-        strips_per_band = (h + rps - 1) // rps
-        bands = []
-        for b in range(c):
-            rows_decoded = []
-            for s in range(strips_per_band):
-                rows = min(rps, h - s * rps)
-                part = raw_parts[b * strips_per_band + s]
-                arr = np.frombuffer(part, dtype=dt, count=rows * w).reshape(rows, w)
-                if predictor == 2:
-                    arr = np.cumsum(arr, axis=1, dtype=dt)
-                rows_decoded.append(arr)
-            bands.append(np.concatenate(rows_decoded, axis=0))
-        chw = np.stack(bands, axis=0).astype(info.dtype)
-    return chw, info
+        hwc = np.concatenate([strip(0, s, c) for s in range(strips_per_plane)], axis=0)
+        return np.moveaxis(hwc, 2, 0)
+    bands = []
+    for b in range(c):
+        rows = np.concatenate([strip(b, s, 1) for s in range(strips_per_plane)], axis=0)
+        bands.append(rows[:, :, 0])
+    return np.stack(bands, axis=0)
+
+
+def _read_tiled(data, tags, info, compression, predictor, dt, planar) -> np.ndarray:
+    offsets = _as_list(tags[TAG_TILE_OFFSETS])
+    counts = _as_list(tags[TAG_TILE_BYTE_COUNTS])
+    h, w, c = info.height, info.width, info.bands
+    tl = int(tags[TAG_TILE_LENGTH])
+    tw = int(tags[TAG_TILE_WIDTH])
+    tiles_down = (h + tl - 1) // tl
+    tiles_across = (w + tw - 1) // tw
+    per_plane = tiles_down * tiles_across
+    itemsize = dt.itemsize
+
+    def decode_plane(plane_idx: int, channels: int) -> np.ndarray:
+        canvas = np.zeros((tiles_down * tl, tiles_across * tw, channels),
+                          dt.newbyteorder("="))
+        for ty in range(tiles_down):
+            for tx in range(tiles_across):
+                i = plane_idx * per_plane + ty * tiles_across + tx
+                raw = _decompress(data[offsets[i] : offsets[i] + counts[i]],
+                                  compression, tl * tw * channels * itemsize)
+                seg = _decode_segment(raw, tl, tw, channels, predictor, dt)
+                canvas[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = seg
+        return canvas[:h, :w]
+
+    if planar == 1:
+        return np.moveaxis(decode_plane(0, c), 2, 0)
+    return np.stack([decode_plane(b, 1)[:, :, 0] for b in range(c)], axis=0)
 
 
 # --- writer ------------------------------------------------------------------
@@ -320,6 +635,15 @@ def _apply_predictor(hwc: np.ndarray) -> np.ndarray:
     return out
 
 
+_WRITE_COMPRESSORS = {
+    None: (COMP_NONE, lambda b: b),
+    "deflate": (COMP_DEFLATE, lambda b: zlib.compress(b, 6)),
+    "zlib": (COMP_DEFLATE, lambda b: zlib.compress(b, 6)),
+    "lzw": (COMP_LZW, lzw_encode),
+    "packbits": (COMP_PACKBITS, packbits_encode),
+}
+
+
 def write(
     path: str,
     array: np.ndarray,
@@ -329,13 +653,19 @@ def write(
     compress: Optional[str] = None,
     rows_per_strip: Optional[int] = None,
     predictor: bool = False,
+    tile: Optional[Tuple[int, int]] = None,
+    bigtiff: bool = False,
+    byteorder: str = "<",
 ) -> None:
     """Write a ``(C, H, W)`` or ``(H, W)`` array as a (Geo)TIFF.
 
     Equivalent surface to the reference's GDAL write paths
     (create_tiles_unet.py:208-249, predict.py:19-52): georeferencing via the
     GDAL 6-tuple ``transform``, CRS via ``crs`` (``"EPSG:xxxx"`` or free
-    text), per-band nodata via ``nodata``.
+    text), per-band nodata via ``nodata``. Beyond GDAL parity: ``tile``
+    writes tile-organized files, ``bigtiff`` selects the 8-byte-offset
+    container, ``byteorder`` ``"<"``/``">"``, ``compress`` in
+    none/deflate/lzw/packbits.
     """
     arr = np.asarray(array)
     if arr.ndim == 2:
@@ -348,39 +678,68 @@ def write(
         arr = arr.astype(np.float32)
     if arr.dtype not in _DTYPE_TO_SF:
         raise ValueError(f"Unsupported dtype for TIFF write: {arr.dtype}")
+    if byteorder not in ("<", ">"):
+        raise ValueError(f"byteorder must be '<' or '>', got {byteorder!r}")
+    if compress not in _WRITE_COMPRESSORS:
+        raise ValueError(
+            f"Unsupported compression {compress!r}; options: deflate, lzw, packbits"
+        )
+    comp_code, compress_fn = _WRITE_COMPRESSORS[compress]
     c, h, w = arr.shape
-    hwc = np.ascontiguousarray(np.moveaxis(arr, 0, 2))
+    hwc = np.ascontiguousarray(np.moveaxis(arr, 0, 2)).astype(
+        arr.dtype.newbyteorder(byteorder))
 
-    if rows_per_strip is None:
-        # target ~256 KiB strips for streaming-friendly output
-        row_bytes = max(1, w * c * arr.dtype.itemsize)
-        rows_per_strip = max(1, min(h, (256 * 1024) // row_bytes))
-    n_strips = (h + rows_per_strip - 1) // rows_per_strip
+    use_pred2 = predictor and arr.dtype.kind in "iu"
+    use_pred3 = predictor and arr.dtype.kind == "f"
 
-    use_deflate = compress in ("deflate", "zlib", "DEFLATE")
-    use_pred = predictor and arr.dtype.kind in "iu"
-
-    strip_payloads: List[bytes] = []
-    for s in range(n_strips):
-        rows = hwc[s * rows_per_strip : (s + 1) * rows_per_strip]
-        if use_pred:
-            rows = _apply_predictor(rows)
-        payload = rows.tobytes()
-        if use_deflate:
-            payload = zlib.compress(payload, 6)
-        strip_payloads.append(payload)
+    def encode_segment(seg: np.ndarray) -> bytes:
+        if use_pred2:
+            seg = _apply_predictor(seg)
+            payload = seg.tobytes()
+        elif use_pred3:
+            payload = _predict_float(seg.astype(arr.dtype.newbyteorder("=")))
+        else:
+            payload = seg.tobytes()
+        return compress_fn(payload)
 
     entries: List[Tuple[int, int, Sequence]] = []  # (tag, type, values)
+    segments: List[bytes] = []
+    if tile is not None:
+        tl, tw_ = int(tile[0]), int(tile[1])
+        if tl % 16 or tw_ % 16:
+            raise ValueError(f"TIFF tile dims must be multiples of 16, got {tile}")
+        tiles_down = (h + tl - 1) // tl
+        tiles_across = (w + tw_ - 1) // tw_
+        padded = np.zeros((tiles_down * tl, tiles_across * tw_, c), hwc.dtype)
+        padded[:h, :w] = hwc
+        for ty in range(tiles_down):
+            for tx in range(tiles_across):
+                seg = padded[ty * tl : (ty + 1) * tl, tx * tw_ : (tx + 1) * tw_]
+                segments.append(encode_segment(np.ascontiguousarray(seg)))
+        entries.append((TAG_TILE_WIDTH, TYPE_LONG, [tw_]))
+        entries.append((TAG_TILE_LENGTH, TYPE_LONG, [tl]))
+        off_tag, cnt_tag = TAG_TILE_OFFSETS, TAG_TILE_BYTE_COUNTS
+    else:
+        if rows_per_strip is None:
+            # target ~256 KiB strips for streaming-friendly output
+            row_bytes = max(1, w * c * arr.dtype.itemsize)
+            rows_per_strip = max(1, min(h, (256 * 1024) // row_bytes))
+        n_strips = (h + rows_per_strip - 1) // rows_per_strip
+        for s in range(n_strips):
+            seg = hwc[s * rows_per_strip : (s + 1) * rows_per_strip]
+            segments.append(encode_segment(seg))
+        entries.append((TAG_ROWS_PER_STRIP, TYPE_LONG, [rows_per_strip]))
+        off_tag, cnt_tag = TAG_STRIP_OFFSETS, TAG_STRIP_BYTE_COUNTS
+
     entries.append((TAG_IMAGE_WIDTH, TYPE_LONG, [w]))
     entries.append((TAG_IMAGE_LENGTH, TYPE_LONG, [h]))
     entries.append((TAG_BITS_PER_SAMPLE, TYPE_SHORT, [arr.dtype.itemsize * 8] * c))
-    entries.append((TAG_COMPRESSION, TYPE_SHORT, [8 if use_deflate else 1]))
+    entries.append((TAG_COMPRESSION, TYPE_SHORT, [comp_code]))
     entries.append((TAG_PHOTOMETRIC, TYPE_SHORT, [1]))
     entries.append((TAG_SAMPLES_PER_PIXEL, TYPE_SHORT, [c]))
-    entries.append((TAG_ROWS_PER_STRIP, TYPE_LONG, [rows_per_strip]))
     entries.append((TAG_PLANAR_CONFIG, TYPE_SHORT, [1]))
-    if use_pred:
-        entries.append((TAG_PREDICTOR, TYPE_SHORT, [2]))
+    if use_pred2 or use_pred3:
+        entries.append((TAG_PREDICTOR, TYPE_SHORT, [2 if use_pred2 else 3]))
     if c > 1:
         entries.append((TAG_EXTRA_SAMPLES, TYPE_SHORT, [0] * (c - 1)))
     entries.append((TAG_SAMPLE_FORMAT, TYPE_SHORT, [_DTYPE_TO_SF[arr.dtype]] * c))
@@ -419,22 +778,26 @@ def write(
         nd_str = str(int(nd)) if nd == int(nd) else repr(nd)
         entries.append((TAG_GDAL_NODATA, TYPE_ASCII, [nd_str]))
 
-    # layout: header(8) | IFD | overflow values | strip data
-    n_tags = len(entries) + 2  # + StripOffsets, StripByteCounts
-    ifd_off = 8
-    ifd_size = 2 + n_tags * 12 + 4
+    seg_counts = [len(p) for p in segments]
+    offset_type = TYPE_LONG8 if bigtiff else TYPE_LONG
+    entries.append((cnt_tag, offset_type, seg_counts))
+    entries.append((off_tag, offset_type, [0] * len(segments)))  # patched below
+    entries.sort(key=lambda e: e[0])
+
+    bo = byteorder
+    if bigtiff:
+        header_size, entry_size, count_fmt, inline, next_fmt = 16, 20, "Q", 8, "Q"
+    else:
+        header_size, entry_size, count_fmt, inline, next_fmt = 8, 12, "I", 4, "I"
+    ifd_off = header_size
+    n_tags = len(entries)
+    ifd_size = (8 if bigtiff else 2) + n_tags * entry_size + struct.calcsize(next_fmt)
 
     def encode_values(ftype: int, values: Sequence) -> bytes:
         if ftype == TYPE_ASCII:
             return values[0].encode("latin1") + b"\x00"
         fmt = _TYPE_FMT[ftype]
-        return struct.pack("<" + fmt * len(values), *values)
-
-    strip_counts = [len(p) for p in strip_payloads]
-    entries.append((TAG_STRIP_BYTE_COUNTS, TYPE_LONG, strip_counts))
-    # offsets filled after layout below
-    entries.append((TAG_STRIP_OFFSETS, TYPE_LONG, [0] * n_strips))
-    entries.sort(key=lambda e: e[0])
+        return struct.pack(bo + fmt * len(values), *values)
 
     overflow_off = ifd_off + ifd_size
     overflow: List[bytes] = []
@@ -442,26 +805,28 @@ def write(
     for tag, ftype, values in entries:
         raw = encode_values(ftype, values)
         count = len(values[0]) + 1 if ftype == TYPE_ASCII else len(values)
-        if len(raw) <= 4:
-            encoded.append((tag, ftype, count, raw.ljust(4, b"\x00"), None))
+        if len(raw) <= inline:
+            encoded.append((tag, ftype, count, raw.ljust(inline, b"\x00"), None))
         else:
             pos = overflow_off + sum(len(o) + (len(o) & 1) for o in overflow)
             overflow.append(raw)
-            encoded.append((tag, ftype, count, struct.pack("<I", pos), pos))
+            encoded.append((tag, ftype, count,
+                            struct.pack(bo + ("Q" if bigtiff else "I"), pos), pos))
 
     data_off = overflow_off + sum(len(o) + (len(o) & 1) for o in overflow)
-    strip_offsets = []
+    seg_offsets = []
     pos = data_off
-    for cnt in strip_counts:
-        strip_offsets.append(pos)
+    for cnt in seg_counts:
+        seg_offsets.append(pos)
         pos += cnt
 
-    # patch StripOffsets values now that data_off is known
-    raw_offs = struct.pack("<" + "I" * n_strips, *strip_offsets)
-    for i, (tag, ftype, count, inline, opos) in enumerate(encoded):
-        if tag == TAG_STRIP_OFFSETS:
+    # patch segment offsets now that data_off is known
+    off_fmt = "Q" if offset_type == TYPE_LONG8 else "I"
+    raw_offs = struct.pack(bo + off_fmt * len(segments), *seg_offsets)
+    for i, (tag, ftype, count, inline_bytes, opos) in enumerate(encoded):
+        if tag == off_tag:
             if opos is None:
-                encoded[i] = (tag, ftype, count, raw_offs.ljust(4, b"\x00"), None)
+                encoded[i] = (tag, ftype, count, raw_offs.ljust(inline, b"\x00"), None)
             else:
                 idx = next(
                     k for k, o in enumerate(overflow)
@@ -470,16 +835,21 @@ def write(
                 overflow[idx] = raw_offs
 
     out = bytearray()
-    out += struct.pack("<2sHI", b"II", 42, ifd_off)
-    out += struct.pack("<H", n_tags)
-    for tag, ftype, count, inline, _ in encoded:
-        out += struct.pack("<HHI", tag, ftype, count) + inline
-    out += struct.pack("<I", 0)  # next IFD
+    magic_bytes = b"II" if bo == "<" else b"MM"
+    if bigtiff:
+        out += struct.pack(bo + "2sHHHQ", magic_bytes, 43, 8, 0, ifd_off)
+        out += struct.pack(bo + "Q", n_tags)
+    else:
+        out += struct.pack(bo + "2sHI", magic_bytes, 42, ifd_off)
+        out += struct.pack(bo + "H", n_tags)
+    for tag, ftype, count, inline_bytes, _ in encoded:
+        out += struct.pack(bo + "HH" + count_fmt, tag, ftype, count) + inline_bytes
+    out += struct.pack(bo + next_fmt, 0)  # next IFD
     for o in overflow:
         out += o
         if len(o) & 1:
             out += b"\x00"
-    for p in strip_payloads:
+    for p in segments:
         out += p
 
     with open(path, "wb") as f:
