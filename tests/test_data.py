@@ -43,7 +43,9 @@ class TestDataset:
     def test_mask_pairing(self, dataset_dir):
         ds = TileDataset(dataset_dir)
         img, msk = ds.load_pair(ds.train_files[0])
-        assert img.shape == (3, 32, 32) and img.dtype == np.float32
+        # images keep their storage dtype (1 byte/px stays 1 byte/px
+        # through the host→device transfer); the device casts when scaling
+        assert img.shape == (3, 32, 32) and img.dtype == np.uint8
         assert msk.shape == (32, 32) and msk.dtype == np.int32
         assert "mask_tiles" in str(get_mask_path(ds.train_files[0]))
 

@@ -192,3 +192,49 @@ class TestServeRaster:
         outs = {p.name for p in out.glob("*.tif")}
         assert len(outs) == 6 and "odd_48.tif" in outs
         assert read_raster(out / "odd_48.tif").data.shape == (1, 48, 48)
+
+
+class TestTpuOptQuality:
+    """The tpu_opt model config (space-to-depth stem + half-res tail,
+    models/unet.py) trades the reference's exact topology for TPU
+    efficiency — this gate proves it still learns the e2e task to the same
+    dice floor as the parity model."""
+
+    def test_tpu_opt_trains_to_parity_floor(self, scene):
+        root, ip, mp = scene
+        base = root / "tiles_tpuopt"
+        split_raster(str(ip), str(mp), str(base), patch_size=TILE, patch_overlap=0,
+                     split=[0.8, 0.2], max_empty=0.9, seed=3)
+        cfg = TrainerConfig(
+            data_path=base, model_path=root / "models", description="e2e_tpuopt",
+            # the fixture's classes are per-PIXEL noise — the least
+            # favorable case for a half-res tail; the sub-pixel head solves
+            # it but converges a few epochs later than the full-res tail
+            batch_size=4, epochs=10, lr=5e-3, arch="xresnet18",
+            codes=["nodata", "dark", "bright"], bf16=False, seed=0,
+            tpu_opt=True,
+        )
+        train_model(cfg)
+        import csv
+
+        hist = root / "models" / "e2e_tpuopt" / "e2e_tpuopt_history.csv"
+        rows = list(csv.DictReader(hist.open()))
+        final_dice = float(rows[-1]["dice_multi"])
+        assert final_dice > 0.85, f"tpu_opt quality regressed: dice {final_dice}"
+
+    def test_tpu_opt_bundle_predicts(self, scene):
+        root, ip, mp = scene
+        bundle = root / "models" / "e2e_tpuopt"
+        if not bundle.exists():
+            pytest.skip("training test did not run")
+        pred_dir = root / "pred_tpuopt"
+        split_raster(str(ip), None, str(pred_dir), patch_size=TILE,
+                     patch_overlap=0.2, max_empty=1.0)
+        out = save_predictions(str(bundle), str(pred_dir / "img_tiles"),
+                               merge=True, AOI="topt", year="2026", batch_size=4)
+        pred = read_raster(out)
+        assert pred.data.shape[1:] == (SIZE, SIZE)
+        # manifest carries tpu_opt → prediction rebuilt the right topology
+        import json
+        manifest = json.loads((bundle / "e2e_tpuopt.json").read_text())
+        assert manifest["tpu_opt"] is True

@@ -225,6 +225,302 @@ def main():
         run_variant("train step no-donate", make_step(donate=False))
         run_variant("train step no-aug no-opt", make_step(aug=False, opt=False))
 
+        # K steps per dispatch via lax.scan: if per-dispatch overhead through
+        # the axon tunnel is material, this collapses it
+        K = 8
+
+        def scan_steps(params, bstats, opt_state, x, m, key):
+            def body(carry, k):
+                params, bstats, opt_state = carry
+                xa, ma = augment_batch(k, x, m, AugmentConfig())
+                (l, new_bs), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    params, bstats, xa, ma)
+                updates, opt_state = tx.update(g, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, new_bs, opt_state), l
+
+            keys = jax.random.split(key, K)
+            (params, bstats, opt_state), losses = jax.lax.scan(
+                body, (params, bstats, opt_state), keys)
+            return params, bstats, opt_state, losses[-1]
+
+        scan_jit = jax.jit(scan_steps, donate_argnums=(0, 1, 2))
+        v = init_fn(jax.random.PRNGKey(0), images)
+        p, bs_ = v["params"], v["batch_stats"]
+        o = opt_init(p)
+        k = key
+        for _ in range(2):
+            k, sub = jax.random.split(k)
+            p, bs_, o, l = scan_jit(p, bs_, o, images, masks, sub)
+        lat = _fetch_latency(l)
+        t0 = time.perf_counter()
+        n_disp = max(S // 2, 2)
+        for _ in range(n_disp):
+            k, sub = jax.random.split(k)
+            p, bs_, o, l = scan_jit(p, bs_, o, images, masks, sub)
+        _sync(l)
+        dt = (time.perf_counter() - t0 - lat) / (n_disp * K)
+        print(f"{'train step (scan x' + str(K) + ' per dispatch)':55s} {dt*1e3:8.2f} ms")
+
+    if args.what in ("all", "tpuopt"):
+        # A/B the tpu_opt model config (s2d stem + half-res tail) at the
+        # bench config, scan-x4 per dispatch for low-variance numbers
+        import optax
+        from unet_tpu.data.augment import AugmentConfig, augment_batch
+        from unet_tpu.train.optimizer import one_cycle_adam
+
+        for opt_flag in (False, True):
+            for bs_try in (B, B * 2):
+                try:
+                    model = build_unet("xresnet34", n_out=3, c_in=3,
+                                       tpu_opt=opt_flag, dtype=jnp.bfloat16)
+                    imgs = jnp.asarray(rng.integers(
+                        0, 255, (bs_try, T, T, 3)).astype(np.float32))
+                    msks = jnp.asarray(rng.integers(
+                        0, 3, (bs_try, T, T)).astype(np.int32))
+                    init_fn = jax.jit(partial(model.init, train=False))
+                    v = init_fn(jax.random.PRNGKey(0), imgs)
+                    tx, _ = one_cycle_adam(v["params"], 1e-4, total_steps=1000)
+
+                    def loss_fn(params, bstats, x, m):
+                        logits, upd = model.apply(
+                            {"params": params, "batch_stats": bstats}, x,
+                            train=True, mutable=["batch_stats"])
+                        return cross_entropy(logits, m), upd["batch_stats"]
+
+                    K = 4
+
+                    def scan_steps(params, bstats, opt_state, x, m, key):
+                        def body(carry, k):
+                            params, bstats, opt_state = carry
+                            xa, ma = augment_batch(k, x, m, AugmentConfig())
+                            (l, nb), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                                params, bstats, xa, ma)
+                            updates, opt_state = tx.update(g, opt_state, params)
+                            params = optax.apply_updates(params, updates)
+                            return (params, nb, opt_state), l
+
+                        keys = jax.random.split(key, K)
+                        (params, bstats, opt_state), losses = jax.lax.scan(
+                            body, (params, bstats, opt_state), keys)
+                        return params, bstats, opt_state, losses[-1]
+
+                    sj = jax.jit(scan_steps, donate_argnums=(0, 1, 2))
+                    p, bs_ = v["params"], v["batch_stats"]
+                    o = jax.jit(tx.init)(p)
+                    k = jax.random.PRNGKey(1)
+                    for _ in range(2):
+                        k, sub = jax.random.split(k)
+                        p, bs_, o, l = sj(p, bs_, o, imgs, msks, sub)
+                    lat = _fetch_latency(l)
+                    t0 = time.perf_counter()
+                    n_disp = 4
+                    for _ in range(n_disp):
+                        k, sub = jax.random.split(k)
+                        p, bs_, o, l = sj(p, bs_, o, imgs, msks, sub)
+                    _sync(l)
+                    dt = (time.perf_counter() - t0 - lat) / (n_disp * K)
+                    tps = bs_try / dt
+                    print(f"tpu_opt={opt_flag} bs={bs_try}: {dt*1e3:7.2f} ms/step "
+                          f"= {tps:6.1f} tiles/s", flush=True)
+                except Exception as e:
+                    print(f"tpu_opt={opt_flag} bs={bs_try}: FAILED {str(e)[:100]}",
+                          flush=True)
+
+    if args.what in ("all", "optalone"):
+        # the optimizer update in isolation: is it genuinely ~25 ms, and why?
+        import optax
+        from unet_tpu.train.optimizer import one_cycle_adam
+
+        model = build_unet("xresnet34", n_out=3, c_in=3, dtype=jnp.bfloat16)
+        init_fn2 = lambda: jax.jit(partial(model.init, train=False))(
+            jax.random.PRNGKey(0), images)["params"]
+        params0 = init_fn2()
+        tx, _ = one_cycle_adam(params0, 1e-4, total_steps=1000)
+        n_leaves = len(jax.tree_util.tree_leaves(params0))
+        n_params = sum(l.size for l in jax.tree_util.tree_leaves(params0))
+        print(f"params: {n_leaves} leaves, {n_params/1e6:.1f} M elements", flush=True)
+
+        def guarded(name, fn):
+            try:
+                fn()
+            except Exception as e:
+                print(f"{name:55s} FAILED: {str(e)[:120]}", flush=True)
+
+        def case_tx():
+            def opt_step(params, opt_state, carry):
+                # grads standing in as params+carry (elementwise, ~free)
+                grads = jax.tree_util.tree_map(lambda p: p * (1e-12 * carry + 1e-6), params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                leaf = jax.tree_util.tree_leaves(params)[0]
+                return params, opt_state, leaf.ravel()[0]
+
+            step_d = jax.jit(opt_step, donate_argnums=(0, 1))
+            p, o = init_fn2(), None
+            o = tx.init(p)
+            carry = jnp.zeros((), jnp.float32)
+            for _ in range(2):
+                p, o, carry = step_d(p, o, carry)
+            lat = _fetch_latency(carry)
+            t0 = time.perf_counter()
+            for _ in range(S):
+                p, o, carry = step_d(p, o, carry)
+            _sync(carry)
+            print(f"{'optimizer update alone (tx, donated)':55s} "
+                  f"{(time.perf_counter()-t0-lat)/S*1e3:8.2f} ms", flush=True)
+
+        def case_flat_roofline():
+            # pure flat adam math on one 41M vector: the roofline
+            def flat_math(mu, nu, p, carry):
+                g = p * (1e-12 * carry + 1e-6)
+                mu = 0.9 * mu + 0.1 * g
+                nu = 0.99 * nu + 0.01 * g * g
+                p = p - 1e-4 * (mu / 0.5) / (jnp.sqrt(nu / 0.5) + 1e-5) - 1e-6 * p
+                return mu, nu, p, p[0]
+
+            fm = jax.jit(flat_math, donate_argnums=(0, 1, 2))
+            mu = jnp.zeros((n_params,), jnp.float32)
+            nu = jnp.zeros((n_params,), jnp.float32)
+            pp = jnp.ones((n_params,), jnp.float32)
+            carry = jnp.zeros((), jnp.float32)
+            for _ in range(2):
+                mu, nu, pp, carry = fm(mu, nu, pp, carry)
+            lat = _fetch_latency(carry)
+            t0 = time.perf_counter()
+            for _ in range(S):
+                mu, nu, pp, carry = fm(mu, nu, pp, carry)
+            _sync(carry)
+            print(f"{'flat adam math roofline (41M vec)':55s} "
+                  f"{(time.perf_counter()-t0-lat)/S*1e3:8.2f} ms", flush=True)
+
+        def case_tree():
+            # round-1-style tree adam (per-leaf kernels) for comparison
+            def tree_opt_step(params, mu, nu, carry):
+                grads = jax.tree_util.tree_map(lambda p: p * (1e-12 * carry + 1e-6), params)
+                mu = jax.tree_util.tree_map(lambda m, g: 0.9 * m + 0.1 * g, mu, grads)
+                nu = jax.tree_util.tree_map(lambda v, g: 0.99 * v + 0.01 * g * g, nu, grads)
+                params = jax.tree_util.tree_map(
+                    lambda p, m, v: p - 1e-4 * (m / 0.5) / (jnp.sqrt(v / 0.5) + 1e-5),
+                    params, mu, nu)
+                leaf = jax.tree_util.tree_leaves(params)[0]
+                return params, mu, nu, leaf.ravel()[0]
+
+            ts = jax.jit(tree_opt_step, donate_argnums=(0, 1, 2))
+            p = init_fn2()
+            mu = jax.tree_util.tree_map(jnp.zeros_like, p)
+            nu = jax.tree_util.tree_map(jnp.zeros_like, p)
+            carry = jnp.zeros((), jnp.float32)
+            for _ in range(2):
+                p, mu, nu, carry = ts(p, mu, nu, carry)
+            lat = _fetch_latency(carry)
+            t0 = time.perf_counter()
+            for _ in range(S):
+                p, mu, nu, carry = ts(p, mu, nu, carry)
+            _sync(carry)
+            print(f"{'tree adam (per-leaf kernels, donated)':55s} "
+                  f"{(time.perf_counter()-t0-lat)/S*1e3:8.2f} ms", flush=True)
+
+        guarded("flat roofline", case_flat_roofline)
+        guarded("tree adam", case_tree)
+        guarded("tx optimizer", case_tx)
+
+    if args.what in ("all", "encoder"):
+        # encoder internals: where do 11.9 ms f+b go on ~0.46 TF?
+        from unet_tpu.models.layers import avg_pool_ceil, max_pool_torch
+
+        def fb(f):
+            """wrap a bf16 function into a fwd+bwd timing target"""
+            def step(carry, x, *rest):
+                xc = (x + carry.astype(x.dtype) * 1e-12)
+
+                def loss(xc):
+                    return jnp.sum(f(xc, *rest).astype(jnp.float32) ** 2) * 1e-9
+
+                l, g = jax.value_and_grad(loss)(xc)
+                return (l + g.ravel()[0]).astype(jnp.float32)
+            return step
+
+        x512 = jnp.asarray(rng.standard_normal((B, T, T, 3)), jnp.bfloat16)
+        x256_64 = jnp.asarray(rng.standard_normal((B, T // 2, T // 2, 64)), jnp.bfloat16)
+        x128_64 = jnp.asarray(rng.standard_normal((B, T // 4, T // 4, 64)), jnp.bfloat16)
+
+        stem = XResNetBody("xresnet34", 3, dtype=jnp.bfloat16)
+
+        def stem_only(x, p, bs_):
+            # run just the 3 stem convs + pool via the body's submodules
+            return x  # placeholder (not used)
+
+        time_fn(fb(lambda x: max_pool_torch(x, 3, 2)), (x256_64,), S,
+                "maxpool 256->128 64ch f+b")
+        time_fn(fb(lambda x: avg_pool_ceil(x, 2)), (x128_64,), S,
+                "avg_pool_ceil 128->64 64ch f+b")
+
+        def bn_train_f(x):
+            m = jnp.mean(x.astype(jnp.float32), axis=(0, 1, 2))
+            v = jnp.mean(jnp.square(x.astype(jnp.float32)), axis=(0, 1, 2)) - m ** 2
+            return (x - m.astype(x.dtype)) * jax.lax.rsqrt(v + 1e-5).astype(x.dtype)
+
+        time_fn(fb(bn_train_f), (x256_64,), S, "BN-train 256x256 64ch f+b")
+
+        # full encoder, eval mode (running stats) for BN-cost comparison
+        enc = XResNetBody("xresnet34", 3, dtype=jnp.bfloat16)
+        ev = jax.jit(partial(enc.init, train=False))(jax.random.PRNGKey(0), images)
+
+        def enc_eval_fb(carry, v, x):
+            xc = (x + carry * 1e-12)
+
+            def loss(xc):
+                f, skips = enc.apply(v, xc.astype(jnp.bfloat16), train=False)
+                return jnp.sum(f.astype(jnp.float32) ** 2) * 1e-6
+
+            l, g = jax.value_and_grad(loss)(xc)
+            return l + g.ravel()[0]
+
+        time_fn(enc_eval_fb, (ev, images), S, "encoder fwd+bwd (eval mode, running stats)")
+
+    if args.what in ("all", "shuffle"):
+        # pixel-shuffle formulations at the expensive tail shape
+        from unet_tpu.models.layers import pixel_shuffle, replication_blur
+
+        cin, cout = 256, 128  # up_3's shuffle: 256ch @128 -> 128ch @256
+        Hs = T // 4
+        x = jnp.asarray(rng.standard_normal((B, Hs, Hs, cin)), jnp.bfloat16)
+        k1 = jnp.asarray(rng.standard_normal((1, 1, cin, cout * 4)) * 0.05, jnp.bfloat16)
+        kt = jnp.asarray(rng.standard_normal((2, 2, cin, cout)) * 0.05, jnp.bfloat16)
+
+        def conv_shuffle(x, k):
+            y = jax.lax.conv_general_dilated(
+                x, k, (1, 1), [(0, 0), (0, 0)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return pixel_shuffle(jax.nn.relu(y), 2)
+
+        def conv_transpose_up(x, k):
+            # fractionally-strided conv: same math as 1x1conv+shuffle with
+            # rearranged weights, one fused op
+            y = jax.lax.conv_general_dilated(
+                x, k, (1, 1), [(1, 0), (1, 0)], lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return jax.nn.relu(y)
+
+        def fb2(f):
+            def step(carry, x, k):
+                xc = x + carry.astype(x.dtype) * 1e-12
+
+                def loss(xc, k):
+                    return jnp.sum(f(xc, k).astype(jnp.float32) ** 2) * 1e-9
+
+                l, g = jax.value_and_grad(loss, argnums=(0, 1))(xc, k)
+                return (l + g[0].ravel()[0]).astype(jnp.float32)
+            return step
+
+        time_fn(fb2(conv_shuffle), (x, k1), S,
+                f"1x1conv+pixelshuffle {cin}->{cout} @{Hs} f+b")
+        time_fn(fb2(conv_transpose_up), (x, kt), S,
+                f"conv_transpose k2 s2 {cin}->{cout} @{Hs} f+b")
+        time_fn(fb2(lambda x, k: replication_blur(conv_shuffle(x, k))), (x, k1), S,
+                f"1x1conv+shuffle+blur {cin}->{cout} @{Hs} f+b")
+
     if args.what in ("all", "pieces"):
         # ---- memory-bound pieces at the full-res tail ----
         from unet_tpu.models.layers import pixel_shuffle, replication_blur

@@ -76,6 +76,16 @@ def build_parser() -> argparse.ArgumentParser:
     bench.add_argument("--tile", type=int, default=512)
     bench.add_argument("--batch-size", type=int, default=8)
     bench.add_argument("--steps", type=int, default=20)
+
+    iw = sub.add_parser(
+        "import-weights",
+        help="convert a torch/fastai xresnet state_dict (.pth) to a "
+             "torch-free .npz for --pretrained-weights / pretrained_weights",
+    )
+    iw.add_argument("state_dict", help="path to the torch .pth file")
+    iw.add_argument("--arch", default="xresnet34")
+    iw.add_argument("-o", "--out", default=None,
+                    help="output .npz (default: <state_dict>.npz)")
     return ap
 
 
@@ -128,6 +138,11 @@ def cli(argv=None) -> int:
         from .bench import run_benchmark
 
         run_benchmark(tile=args.tile, batch_size=args.batch_size, steps=args.steps)
+    elif args.command == "import-weights":
+        from .models.torch_import import import_weights_cli
+
+        out = args.out or (str(args.state_dict).rsplit(".", 1)[0] + ".npz")
+        import_weights_cli(args.state_dict, out, arch=args.arch)
     return 0
 
 

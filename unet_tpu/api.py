@@ -90,6 +90,7 @@ class Params:
     # TPU-native knobs (no reference equivalent)
     normalize: str = "reference"
     reference_quirks: bool = False
+    tpu_opt: bool = False  # space-to-depth stem + half-res tail
     bf16: bool = True
     seed: int = 0
     predict_batch_size: int = 16
@@ -153,6 +154,7 @@ def trainer_config(p: Params) -> TrainerConfig:
         class_zero=p.class_zero,
         normalize=p.normalize,
         reference_quirks=p.reference_quirks,
+        tpu_opt=p.tpu_opt,
         bf16=p.bf16,
         seed=p.seed,
         checkpoint_every=p.checkpoint_every,
@@ -179,6 +181,7 @@ def main(p: Params) -> None:
             max_empty=p.max_empty,
             class_zero=p.class_zero,
             seed=p.seed,
+            reference_quirks=p.reference_quirks,
         )
 
     if p.Train:
@@ -200,6 +203,7 @@ def main(p: Params) -> None:
             p.validation_vision,
             class_zero=p.class_zero,
             batch_size=p.predict_batch_size,
+            reference_quirks=p.reference_quirks,
         )
 
     elapsed = time.time() - start_time
@@ -222,6 +226,7 @@ def main_multi(p: Params) -> None:
                 path_to_raster=img, path_to_mask=msk, patch_size=p.patch_size,
                 patch_overlap=p.patch_overlap, base_dir=base, split=list(p.split),
                 max_empty=p.max_empty, class_zero=p.class_zero, seed=p.seed,
+                reference_quirks=p.reference_quirks,
             )
 
     if p.Train:
@@ -249,7 +254,8 @@ def main_multi(p: Params) -> None:
         for model, path, merge, ac in zip(models, paths, merges, all_cls):
             save_predictions(model, path, p.regression, merge, ac, p.specific_class,
                              p.large_file, p.AOI, p.year, p.validation_vision,
-                             class_zero=p.class_zero, batch_size=p.predict_batch_size)
+                             class_zero=p.class_zero, batch_size=p.predict_batch_size,
+                             reference_quirks=p.reference_quirks)
 
     elapsed = time.time() - start_time
     print(f"The operation took {elapsed:.2f} seconds or {elapsed / 60:.2f} minutes")

@@ -7,10 +7,18 @@ class on A100 sustains ~100 tiles/s at 512² including its data-path sinks
 (CPU per-image augmentation, num_workers=0 loading — SURVEY.md §3.2); we
 report ``vs_baseline`` as measured/100, so the target is vs_baseline ≥ 2.
 
-Measures the full on-device training path: augmentation + bf16
-forward/backward + one-cycle Adam in a single donated jit, synthetic batch
-resident in HBM (isolating device throughput from host tile decode, which
-overlaps in real training).
+Methodology (BENCH_NOTES.md): ``jax.block_until_ready`` does not block
+through the remote axon platform, so timing fetches a scalar chained through
+every step's data dependencies and subtracts the separately-measured fetch
+latency. Steps run K-at-a-time inside one jit via ``lax.scan`` — single-step
+dispatch timings vary ±10% through the tunnel; the scan number is stable and
+is also the production TPU pattern (device-side step loop).
+
+Headline config: the ``tpu_opt`` model variant (space-to-depth stem +
+half-res last_cross tail, models/unet.py) — the TPU-native flagship,
+quality-gated against the parity topology in
+tests/test_pipeline_e2e.py::TestTpuOptQuality. The reference-parity
+topology's number is reported alongside in the stderr detail.
 """
 
 from __future__ import annotations
@@ -34,13 +42,7 @@ A100_BASELINE_TILES_PER_SEC = 100.0
 
 
 def _sync(x) -> float:
-    """Force true device completion by fetching a scalar to host.
-
-    ``jax.block_until_ready`` does not actually block through the remote
-    (axon-tunnel) TPU platform — timing without a host readback reports
-    impossible >peak FLOPs. A scalar fetch is the reliable sync point; its
-    latency is measured separately and subtracted.
-    """
+    """Force true device completion by fetching a scalar to host."""
     return float(jax.device_get(x if x.ndim == 0 else x.ravel()[0]))
 
 
@@ -55,65 +57,69 @@ def _fetch_latency(x) -> float:
     return sorted(samples)[len(samples) // 2]
 
 
-def build_train_step(model, tx):
-    def loss_fn(params, batch_stats, images, masks):
-        logits, updates = model.apply(
-            {"params": params, "batch_stats": batch_stats}, images,
-            train=True, mutable=["batch_stats"],
-        )
-        return cross_entropy(logits, masks), updates["batch_stats"]
-
-    @partial(jax.jit, donate_argnums=(0, 1, 2))
-    def train_step(params, batch_stats, opt_state, images, masks, key):
-        images, masks = augment_batch(key, images, masks, AugmentConfig())
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            params, batch_stats, images, masks
-        )
-        updates, new_opt = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, new_stats, new_opt, loss
-
-    return train_step
-
-
-def bench_train(tile: int = 512, batch_size: int = 8, steps: int = 20,
-                arch: str = "xresnet34", n_classes: int = 3, c_in: int = 3) -> dict:
-    model = build_unet(arch, n_out=n_classes, c_in=c_in, dtype=jnp.bfloat16)
-    x = jnp.zeros((batch_size, tile, tile, c_in), jnp.float32)
-    variables = jax.jit(partial(model.init, train=False))(jax.random.PRNGKey(0), x)
+def bench_train(tile: int = 512, batch_size: int = 8, steps: int = 24,
+                arch: str = "xresnet34", n_classes: int = 3, c_in: int = 3,
+                tpu_opt: bool = True, scan_k: int = 4) -> dict:
+    model = build_unet(arch, n_out=n_classes, c_in=c_in, dtype=jnp.bfloat16,
+                       tpu_opt=tpu_opt)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.integers(
+        0, 255, size=(batch_size, tile, tile, c_in)).astype(np.float32))
+    masks = jnp.asarray(rng.integers(
+        0, n_classes, size=(batch_size, tile, tile)).astype(np.int32))
+    variables = jax.jit(partial(model.init, train=False))(jax.random.PRNGKey(0), images)
     tx, _ = one_cycle_adam(variables["params"], 1e-4, total_steps=1000)
     params, batch_stats = variables["params"], variables["batch_stats"]
-    opt_state = tx.init(params)
-    train_step = build_train_step(model, tx)
+    opt_state = jax.jit(tx.init)(params)
 
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.integers(0, 255, size=x.shape).astype(np.float32))
-    masks = jnp.asarray(rng.integers(0, n_classes, size=(batch_size, tile, tile)).astype(np.int32))
+    def loss_fn(params, batch_stats, x, m):
+        logits, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats}, x,
+            train=True, mutable=["batch_stats"])
+        return cross_entropy(logits, m), updates["batch_stats"]
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def scan_steps(params, batch_stats, opt_state, x, m, key):
+        def body(carry, k):
+            params, batch_stats, opt_state = carry
+            xa, ma = augment_batch(k, x, m, AugmentConfig())
+            (l, new_bs), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                params, batch_stats, xa, ma)
+            updates, opt_state = tx.update(g, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_bs, opt_state), l
+
+        keys = jax.random.split(key, scan_k)
+        (params, batch_stats, opt_state), losses = jax.lax.scan(
+            body, (params, batch_stats, opt_state), keys)
+        return params, batch_stats, opt_state, losses[-1]
+
     key = jax.random.PRNGKey(1)
-
-    for i in range(3):  # warmup + compile
+    for _ in range(2):  # compile + warm
         key, sub = jax.random.split(key)
-        params, batch_stats, opt_state, loss = train_step(
+        params, batch_stats, opt_state, loss = scan_steps(
             params, batch_stats, opt_state, images, masks, sub)
     latency = _fetch_latency(loss)
 
-    # each step consumes the previous step's params → the chain serializes;
-    # fetching the final loss forces completion of every step
+    n_disp = max(steps // scan_k, 2)
     t0 = time.perf_counter()
-    for i in range(steps):
+    for _ in range(n_disp):
         key, sub = jax.random.split(key)
-        params, batch_stats, opt_state, loss = train_step(
+        params, batch_stats, opt_state, loss = scan_steps(
             params, batch_stats, opt_state, images, masks, sub)
     _sync(loss)
     dt = max(time.perf_counter() - t0 - latency, 1e-9)
 
+    n_steps = n_disp * scan_k
     n_chips = jax.device_count()
-    tiles_per_sec = batch_size * steps / dt
+    tiles_per_sec = batch_size * n_steps / dt
     return {
         "tile": tile,
         "batch_size": batch_size,
-        "steps": steps,
+        "steps": n_steps,
         "arch": arch,
+        "tpu_opt": tpu_opt,
+        "step_ms": dt / n_steps * 1e3,
         "seconds": dt,
         "tiles_per_sec": tiles_per_sec,
         "tiles_per_sec_per_chip": tiles_per_sec / n_chips,
@@ -122,8 +128,10 @@ def bench_train(tile: int = 512, batch_size: int = 8, steps: int = 20,
 
 
 def bench_predict(tile: int = 512, batch_size: int = 16, steps: int = 20,
-                  arch: str = "xresnet34", n_classes: int = 3, c_in: int = 3) -> dict:
-    model = build_unet(arch, n_out=n_classes, c_in=c_in, dtype=jnp.bfloat16)
+                  arch: str = "xresnet34", n_classes: int = 3, c_in: int = 3,
+                  tpu_opt: bool = True) -> dict:
+    model = build_unet(arch, n_out=n_classes, c_in=c_in, dtype=jnp.bfloat16,
+                       tpu_opt=tpu_opt)
     x = jnp.zeros((batch_size, tile, tile, c_in), jnp.float32)
     variables = jax.jit(partial(model.init, train=False))(jax.random.PRNGKey(0), x)
 
@@ -152,11 +160,13 @@ def bench_predict(tile: int = 512, batch_size: int = 16, steps: int = 20,
 
 
 def bench_loader(tile: int = 512, n_tiles: int = 16, bands: int = 4) -> dict:
-    """Host tile-decode throughput: native C++ batch decoder vs Python codec.
+    """Host tile-decode throughput: native C++ batch decoder vs Python codec,
+    on uncompressed and deflate tiles (what split_raster writes).
 
     The reference decodes tiles single-threaded through rasterio
     (num_workers=0 everywhere, SURVEY.md §3.2); this measures our
-    replacement data path."""
+    replacement data path. The loader itself picks whichever path measures
+    faster on its first batch (data/loader.py)."""
     import tempfile
     from pathlib import Path
 
@@ -164,30 +174,108 @@ def bench_loader(tile: int = 512, n_tiles: int = 16, bands: int = 4) -> dict:
     from . import native
 
     rng = np.random.default_rng(0)
+    res = {}
     with tempfile.TemporaryDirectory() as d:
-        paths = []
-        for i in range(n_tiles):
-            arr = rng.integers(0, 255, size=(bands, tile, tile)).astype(np.uint8)
-            p = Path(d) / f"t_{i}.tif"
-            tiff_codec.write(str(p), arr)
-            paths.append(p)
-        mpix = n_tiles * tile * tile / 1e6
+        for comp in (None, "deflate"):
+            label = comp or "raw"
+            paths = []
+            for i in range(n_tiles):
+                arr = rng.integers(0, 255, size=(bands, tile, tile)).astype(np.uint8)
+                p = Path(d) / f"{label}_{i}.tif"
+                tiff_codec.write(str(p), arr, compress=comp)
+                paths.append(p)
+            mpix = n_tiles * tile * tile / 1e6
 
-        t0 = time.perf_counter()
-        for p in paths:
-            tiff_codec.read(str(p))
-        python_mpix_s = mpix / (time.perf_counter() - t0)
-
-        native_mpix_s = None
-        if native.available():
-            native.decode_batch(paths[:2], tile, tile, bands)  # warm
             t0 = time.perf_counter()
-            native.decode_batch(paths, tile, tile, bands, n_threads=8)
-            native_mpix_s = mpix / (time.perf_counter() - t0)
-    return {"python_decode_mpix_s": python_mpix_s, "native_decode_mpix_s": native_mpix_s}
+            for p in paths:
+                tiff_codec.read(str(p))
+            res[f"python_{label}_mpix_s"] = mpix / (time.perf_counter() - t0)
+
+            if native.available():
+                native.decode_batch_raw(paths[:2], tile, tile, bands, np.uint8)  # warm
+                t0 = time.perf_counter()
+                native.decode_batch_raw(paths, tile, tile, bands, np.uint8)
+                res[f"native_{label}_mpix_s"] = mpix / (time.perf_counter() - t0)
+    return res
 
 
-def run_benchmark(tile: int = 512, batch_size: int = 8, steps: int = 20,
+def bench_e2e_train(tile: int = 512, batch_size: int = 8, n_tiles: int = 32,
+                    tpu_opt: bool = True) -> dict:
+    """End-to-end training throughput with the REAL data path: tiles on
+    disk → loader decode → host→device transfer → train step.
+
+    On the axon rig the host→device link is a ~MB/s tunnel, so this number
+    is transfer-bound and far below the synthetic number; on a real TPU host
+    (PCIe h2d ~10 GB/s) a uint8 512² batch costs ~0.1 ms/step. The loader's
+    decode rate (bench_loader) shows decode itself sustains the synthetic
+    rate. Also reports the measured h2d bandwidth so the gap is attributable."""
+    import tempfile
+    from pathlib import Path
+
+    from .data.dataset import TileDataset
+    from .data.loader import TileLoader
+    from .geo import tiff as tiff_codec
+    from .train.loop import TrainerConfig, Trainer
+
+    rng = np.random.default_rng(0)
+    with tempfile.TemporaryDirectory() as d:
+        base = Path(d)
+        for split, n in (("trai", n_tiles), ("vali", batch_size)):
+            (base / split / "img_tiles").mkdir(parents=True)
+            (base / split / "mask_tiles").mkdir(parents=True)
+            for i in range(n):
+                img = rng.integers(0, 255, size=(3, tile, tile)).astype(np.uint8)
+                msk = rng.integers(0, 3, size=(tile, tile)).astype(np.uint8)
+                tiff_codec.write(str(base / split / "img_tiles" / f"t_{i}.tif"), img)
+                tiff_codec.write(str(base / split / "mask_tiles" / f"t_{i}.tif"), msk)
+
+        # h2d bandwidth probe
+        payload = np.zeros((batch_size, tile, tile, 3), np.uint8)
+        dev = jax.device_put(payload)
+        _sync(jnp.max(dev).astype(jnp.float32))
+        t0 = time.perf_counter()
+        dev = jax.device_put(payload)
+        _sync(jnp.max(dev).astype(jnp.float32))
+        h2d_mb_s = payload.nbytes / 1e6 / (time.perf_counter() - t0)
+
+        cfg = TrainerConfig(
+            data_path=base, model_path=base / "m", description="bench",
+            batch_size=batch_size, epochs=2, lr=1e-4, arch="xresnet34",
+            codes=["a", "b", "c"], tpu_opt=tpu_opt, seed=0,
+            visualize_data_example=False, export_model_summary=False,
+        )
+        trainer = Trainer(cfg)
+        try:
+            state = trainer.init_state()
+            train_step, _ = trainer._build_steps(trainer.tx)
+            from .parallel.mesh import shard_batch
+
+            key = jax.random.PRNGKey(0)
+            # warm epoch (compile)
+            for images, masks, _ in trainer.train_loader:
+                key, sub = jax.random.split(key)
+                images, masks = shard_batch(trainer.mesh, images, masks)
+                state, loss = train_step(state, images, masks, sub)
+            _sync(loss)
+            t0 = time.perf_counter()
+            n_steps = 0
+            for images, masks, _ in trainer.train_loader:
+                key, sub = jax.random.split(key)
+                images, masks = shard_batch(trainer.mesh, images, masks)
+                state, loss = train_step(state, images, masks, sub)
+                n_steps += 1
+            _sync(loss)
+            dt = time.perf_counter() - t0
+        finally:
+            trainer.close()
+    return {
+        "e2e_tiles_per_sec": batch_size * n_steps / dt,
+        "h2d_mb_per_sec": h2d_mb_s,
+        "n_steps": n_steps,
+    }
+
+
+def run_benchmark(tile: int = 512, batch_size: int = 8, steps: int = 24,
                   predict_batch: Optional[int] = None) -> dict:
     import sys
 
@@ -200,6 +288,11 @@ def run_benchmark(tile: int = 512, batch_size: int = 8, steps: int = 20,
             print(f"train bench failed at bs={bs}: {e}", file=sys.stderr)
     if train_res is None:
         raise RuntimeError("training benchmark failed at all batch sizes")
+    try:
+        parity_res = bench_train(tile=tile, batch_size=train_res["batch_size"],
+                                 steps=steps, tpu_opt=False)
+    except Exception as e:
+        parity_res = {"error": str(e)[:120]}
     pred_res = bench_predict(tile=tile, batch_size=predict_batch or train_res["batch_size"] * 4,
                              steps=steps)
     value = train_res["tiles_per_sec_per_chip"]
@@ -207,12 +300,20 @@ def run_benchmark(tile: int = 512, batch_size: int = 8, steps: int = 20,
         loader_res = {k: (round(v, 1) if v else v) for k, v in bench_loader().items()}
     except Exception as e:
         loader_res = {"error": str(e)[:100]}
+    try:
+        e2e_res = {k: (round(v, 2) if isinstance(v, float) else v)
+                   for k, v in bench_e2e_train(tile=tile, batch_size=train_res["batch_size"]).items()}
+    except Exception as e:
+        e2e_res = {"error": str(e)[:120]}
     detail = {
         "train": {k: (round(v, 4) if isinstance(v, float) else v)
                   for k, v in train_res.items()},
+        "train_parity_topology": {k: (round(v, 4) if isinstance(v, float) else v)
+                                  for k, v in parity_res.items()},
         "predict": {k: (round(v, 4) if isinstance(v, float) else v)
                     for k, v in pred_res.items()},
         "loader": loader_res,
+        "e2e_train": e2e_res,
         "baseline_note": "vs A100-estimate 100 tiles/s (see docstring); target >= 2.0",
     }
     print(json.dumps(detail), file=sys.stderr)

@@ -84,6 +84,9 @@ class TileDataset:
     data_path: Path
     valid_scenes: Sequence[str] = ("vali",)
     regression: bool = False
+    # reference data.py:24: every image load goes through astype(np.int32),
+    # silently truncating float32 rasters toward zero
+    reference_quirks: bool = False
     train_files: List[Path] = field(default_factory=list)
     valid_files: List[Path] = field(default_factory=list)
 
@@ -97,18 +100,25 @@ class TileDataset:
             (self.valid_files if scene in self.valid_scenes else self.train_files).append(f)
 
     def load_pair(self, img_path: Path) -> Tuple[np.ndarray, np.ndarray]:
-        """(image (C,H,W) float32, mask (H,W)) for one tile.
+        """(image (C,H,W) in the tile's own dtype, mask (H,W)) for one tile.
 
-        Mask band 0 only, as the reference's get_y does (utils.py:51-55);
-        int masks → int32, float masks (regression) → float32.
+        Images stay in their storage dtype (uint8/uint16/...) so a uint8
+        tile costs 1 byte/px through host RAM and the host→device transfer;
+        the device casts to float during augmentation scaling. Mask band 0
+        only, as the reference's get_y does (utils.py:51-55); int masks →
+        int32, float masks (regression) → float32.
         """
-        img = read_raster(img_path).data.astype(np.float32)
+        img = self.load_image(img_path)
         msk = read_raster(get_mask_path(img_path)).data[0]
         msk = msk.astype(np.float32 if self.regression else np.int32)
         return img, msk
 
     def load_image(self, img_path: Path) -> np.ndarray:
-        return read_raster(img_path).data.astype(np.float32)
+        data = read_raster(img_path).data
+        if self.reference_quirks and data.dtype.kind == "f":
+            # data.py:24 open_npy: astype(np.int32) truncates float rasters
+            data = data.astype(np.int32)
+        return data
 
     @property
     def n_train(self) -> int:

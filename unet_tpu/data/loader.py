@@ -11,6 +11,7 @@ sharded mesh.
 from __future__ import annotations
 
 import concurrent.futures as cf
+import os
 from collections import deque
 from pathlib import Path
 from typing import Iterator, List, Optional, Sequence, Tuple
@@ -55,10 +56,16 @@ class TileLoader:
         self.with_masks = with_masks
         self._pool = cf.ThreadPoolExecutor(max_workers=n_threads)
         self._epoch = 0
-        # native fast path: parallel C++ decode of the whole batch directly
-        # into the NHWC buffer (the GDAL-equivalent native layer)
+        # native fast path: C++ decode of the whole batch directly into the
+        # NHWC buffer in the tiles' own dtype (the GDAL-equivalent native
+        # layer). Whether it beats the numpy codec depends on tile format
+        # (compression, dtype) and core count, so the first batch is decoded
+        # both ways and the faster path sticks — overridable with
+        # UNET_TPU_LOADER=native|python.
         self._tile_shape: Optional[Tuple[int, int, int]] = None
+        self._tile_dtype: Optional[np.dtype] = None
         self._native = None
+        self._native_decided = False
         if self.files:
             try:
                 from .. import native
@@ -66,9 +73,16 @@ class TileLoader:
                 if native.available():
                     info = tiff_codec.read_info(str(self.files[0]))
                     self._tile_shape = (info.height, info.width, info.bands)
+                    self._tile_dtype = info.dtype
                     self._native = native
             except Exception:
                 self._native = None
+        forced = os.environ.get("UNET_TPU_LOADER")
+        if forced == "python":
+            self._native = None
+            self._native_decided = True
+        elif forced == "native":
+            self._native_decided = True
 
     def __len__(self) -> int:
         n = len(self.files)
@@ -84,11 +98,16 @@ class TileLoader:
         return np.moveaxis(img, 0, 2), msk  # CHW → HWC
 
     def _make_batch(self, paths: List[Path]) -> Batch:
+        if self._native is not None and not self._native_decided:
+            self._choose_path(paths)
         if self._native is not None:
             try:
                 return self._make_batch_native(paths)
             except RuntimeError:
                 self._native = None  # permanent fallback to Python codec
+        return self._make_batch_python(paths)
+
+    def _make_batch_python(self, paths: List[Path]) -> Batch:
         pairs = list(self._pool.map(self._load_one, paths))
         n_valid = len(pairs)
         while len(pairs) < self.batch_size:  # pad final eval batch
@@ -97,11 +116,31 @@ class TileLoader:
         masks = np.stack([p[1] for p in pairs]) if self.with_masks else None
         return images, masks, n_valid
 
+    def _choose_path(self, paths: List[Path]) -> None:
+        """Decode the first batch both ways once; keep the faster decoder
+        (VERDICT r1: never prefer a path that measures slower)."""
+        import time
+
+        self._native_decided = True
+        try:
+            t0 = time.perf_counter()
+            self._make_batch_native(paths)
+            t_native = time.perf_counter() - t0
+        except RuntimeError:
+            self._native = None
+            return
+        t0 = time.perf_counter()
+        self._make_batch_python(paths)
+        t_python = time.perf_counter() - t0
+        if t_python < t_native:
+            self._native = None
+
     def _make_batch_native(self, paths: List[Path]) -> Batch:
         h, w, c = self._tile_shape
         n_valid = len(paths)
         full = list(paths) + [paths[-1]] * (self.batch_size - n_valid)
-        images = self._native.decode_batch(full, h, w, c, self.n_threads)
+        images = self._native.decode_batch_raw(full, h, w, c, self._tile_dtype,
+                                               self.n_threads)
         masks = None
         if self.with_masks:
             mask_paths = [get_mask_path(p) for p in full]

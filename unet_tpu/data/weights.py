@@ -25,11 +25,26 @@ from ..geo import read_raster
 MAX_WEIGHT_TILES = 1200  # utils.py:109
 
 
-def compute_class_weights(data_path: Path, n_classes: int, max_tiles: int = MAX_WEIGHT_TILES) -> List[float]:
+def compute_class_weights(data_path: Path, n_classes: int, max_tiles: int = MAX_WEIGHT_TILES,
+                          reference_quirks: bool = False,
+                          seed: int = 0) -> List[float]:
     mask_dir = Path(data_path) / "trai" / "mask_tiles"
-    files = sorted(mask_dir.glob("*.tif"))[:max_tiles]
+    files = sorted(mask_dir.glob("*.tif"))
     if not files:
         raise FileNotFoundError(f"No mask tiles under {mask_dir}")
+    if reference_quirks:
+        # the reference samples ONE shuffled dataloader batch of
+        # bs=min(#tiles, 1200) (utils.py:109-116) and builds the weight
+        # vector from np.unique of that sample — classes absent from the
+        # sample silently drop out, misaligning weights with codes
+        rng = np.random.default_rng(seed)
+        sample = rng.permutation(len(files))[:max_tiles]
+        values = np.concatenate(
+            [read_raster(files[i]).data.astype(np.int64).ravel() for i in sample])
+        uniq, counts = np.unique(values, return_counts=True)
+        total = counts.sum()
+        return [float(total / c) for c in counts]
+    files = files[:max_tiles]
     counts = np.zeros(n_classes, dtype=np.int64)
     for f in files:
         m = read_raster(f).data.astype(np.int64).ravel()
@@ -43,6 +58,7 @@ def resolve_class_weights(
     codes: Sequence[str],
     data_path: Optional[Path] = None,
     regression: bool = False,
+    reference_quirks: bool = False,
 ) -> List[float]:
     """train.py:335-341 defaulting."""
     if regression:
@@ -53,7 +69,8 @@ def resolve_class_weights(
         if spec == "weighted":
             if data_path is None:
                 raise ValueError("'weighted' class weights need a data_path")
-            return compute_class_weights(data_path, len(codes))
+            return compute_class_weights(data_path, len(codes),
+                                         reference_quirks=reference_quirks)
         raise ValueError(f"Unknown class-weight spec {spec!r} (use 'even', 'weighted', or a list)")
     if spec is None:
         return (np.ones(len(codes)) / len(codes)).tolist()

@@ -480,14 +480,33 @@ def _transform_from_tags(tags: Dict[int, object]) -> Optional[GeoTransform]:
 # --- segment decoding -----------------------------------------------------------
 
 
+def _native_codecs():
+    """The C++ codec module, or None (pure-Python fallback)."""
+    try:
+        from .. import native
+        return native if native.available() else None
+    except Exception:
+        return None
+
+
 def _decompress(chunk: bytes, compression: int, expected: Optional[int] = None) -> bytes:
     if compression == COMP_NONE:
         return chunk
     if compression in (COMP_DEFLATE, COMP_DEFLATE_LEGACY):
         return zlib.decompress(chunk)
     if compression == COMP_LZW:
+        nat = _native_codecs() if expected else None
+        if nat is not None:
+            out = nat.lzw_decode(chunk, expected)
+            if out is not None:
+                return out
         return lzw_decode(chunk)
     if compression == COMP_PACKBITS:
+        nat = _native_codecs() if expected else None
+        if nat is not None:
+            out = nat.packbits_decode(chunk, expected)
+            if out is not None:
+                return out
         return packbits_decode(chunk, expected)
     name = _COMP_NAMES.get(compression, str(compression))
     raise ValueError(f"Unsupported TIFF compression: {name} (code {compression})")
@@ -635,12 +654,30 @@ def _apply_predictor(hwc: np.ndarray) -> np.ndarray:
     return out
 
 
+def _lzw_encode_fast(b: bytes) -> bytes:
+    nat = _native_codecs()
+    if nat is not None:
+        out = nat.lzw_encode(b)
+        if out is not None:
+            return out
+    return lzw_encode(b)
+
+
+def _packbits_encode_fast(b: bytes) -> bytes:
+    nat = _native_codecs()
+    if nat is not None:
+        out = nat.packbits_encode(b)
+        if out is not None:
+            return out
+    return packbits_encode(b)
+
+
 _WRITE_COMPRESSORS = {
     None: (COMP_NONE, lambda b: b),
     "deflate": (COMP_DEFLATE, lambda b: zlib.compress(b, 6)),
     "zlib": (COMP_DEFLATE, lambda b: zlib.compress(b, 6)),
-    "lzw": (COMP_LZW, lzw_encode),
-    "packbits": (COMP_PACKBITS, packbits_encode),
+    "lzw": (COMP_LZW, _lzw_encode_fast),
+    "packbits": (COMP_PACKBITS, _packbits_encode_fast),
 }
 
 

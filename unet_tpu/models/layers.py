@@ -50,6 +50,7 @@ class ConvLayer(nn.Module):
     norm: Optional[str] = "batch"
     act: bool = True
     dtype: Dtype = jnp.bfloat16
+    pad: Optional[Sequence[Tuple[int, int]]] = None  # overrides torch_pad(ks)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -58,7 +59,7 @@ class ConvLayer(nn.Module):
             self.nf,
             (self.ks, self.ks),
             strides=(self.stride, self.stride),
-            padding=torch_pad(self.ks),
+            padding=self.pad if self.pad is not None else torch_pad(self.ks),
             use_bias=use_bias,
             kernel_init=nn.initializers.he_normal(),
             dtype=self.dtype,
@@ -143,6 +144,14 @@ class ResBlock(nn.Module):
         if ni != nf_out:
             idn = ConvLayer(nf_out, 1, 1, act=False, dtype=self.dtype, name="idconv")(idn, train)
         return nn.relu(y + idn)
+
+
+def space_to_depth(x: jax.Array, r: int = 2) -> jax.Array:
+    """NHWC (B,H,W,C) → (B,H/r,W/r,C·r²) with (dy, dx, c) channel ordering."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // r, r, w // r, r, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # B, H/r, W/r, dy, dx, c
+    return x.reshape(b, h // r, w // r, c * r * r)
 
 
 def pixel_shuffle(x: jax.Array, r: int = 2) -> jax.Array:

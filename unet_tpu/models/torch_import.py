@@ -126,3 +126,91 @@ def _graft(target: Dict, source: Dict, allow_stem_mismatch: bool) -> None:
                     f"Shape mismatch for {k}: {np.shape(target[k])} vs {np.shape(v)}"
                 )
             target[k] = np.asarray(v, dtype=np.asarray(target[k]).dtype)
+
+
+# --- converted-archive format (.npz) -----------------------------------------
+# ``python -m unet_tpu import-weights`` converts a torch state_dict once;
+# training then consumes the .npz with no torch dependency. Offline
+# acquisition of the real fastai ImageNet weights (train.py:128 equivalent),
+# on any networked machine:
+#     from fastai.vision.all import xresnet34; import torch
+#     torch.save(xresnet34(pretrained=True).state_dict(), "xresnet34.pth")
+# then ship xresnet34.pth here and run the import-weights command.
+
+
+def _flatten_tree(tree: Dict[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(_flatten_tree(v, key))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten_tree(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_converted(path: str, params: Dict[str, Any], stats: Dict[str, Any],
+                   arch: str) -> None:
+    """Write converted encoder weights as a torch-free .npz archive."""
+    flat = {f"p/{k}": v for k, v in _flatten_tree(params).items()}
+    flat.update({f"s/{k}": v for k, v in _flatten_tree(stats).items()})
+    flat["__arch__"] = np.asarray(arch)
+    np.savez(path, **flat)
+
+
+def load_converted(path: str) -> Tuple[Dict[str, Any], Dict[str, Any], str]:
+    """Read a converted .npz archive → (params, stats, arch)."""
+    with np.load(path) as z:
+        arch = str(z["__arch__"])
+        p = {k[2:]: z[k] for k in z.files if k.startswith("p/")}
+        s = {k[2:]: z[k] for k in z.files if k.startswith("s/")}
+    return _unflatten_tree(p), _unflatten_tree(s), arch
+
+
+def load_encoder_any(variables: Dict[str, Any], path: str,
+                     arch: str = "xresnet34") -> Dict[str, Any]:
+    """Graft pretrained encoder weights from either a torch state_dict
+    (.pth/.pt, needs torch) or a converted .npz archive (torch-free)."""
+    import jax
+
+    if str(path).endswith(".npz"):
+        enc_params, enc_stats, saved_arch = load_converted(path)
+        if saved_arch != arch:
+            raise ValueError(
+                f"Converted weights are for {saved_arch}, model is {arch}")
+        new_vars = jax.tree_util.tree_map(lambda x: x, variables)
+        tgt_p = new_vars["params"]["encoder"]
+        tgt_s = new_vars["batch_stats"]["encoder"]
+        for name, block in enc_params.items():
+            _graft(tgt_p[name], block, allow_stem_mismatch=(name == "stem_0"))
+            _graft(tgt_s[name], enc_stats[name], allow_stem_mismatch=False)
+        return new_vars
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    sd = {k: v.numpy() for k, v in sd.items()}
+    return load_encoder(variables, sd, arch)
+
+
+def import_weights_cli(src: str, out: str, arch: str = "xresnet34") -> str:
+    """``python -m unet_tpu import-weights`` backend: .pth → .npz."""
+    import torch
+
+    sd = torch.load(src, map_location="cpu", weights_only=True)
+    sd = {k: v.numpy() for k, v in sd.items()}
+    params, stats = convert_xresnet_state_dict(sd, arch)
+    save_converted(out, params, stats, arch)
+    n = sum(v.size for v in _flatten_tree(params).values())
+    print(f"Converted {arch} encoder ({n/1e6:.1f}M params) -> {out}")
+    return out

@@ -31,7 +31,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvLayer, PixelShuffleICNR, ResBlock, SelfAttention
+from .layers import (ConvLayer, PixelShuffleICNR, ResBlock, SelfAttention,
+                     pixel_shuffle, space_to_depth)
 from .xresnet import ARCHS, XResNetBody
 
 
@@ -85,13 +86,21 @@ class DynamicUnet(nn.Module):
     bottle: bool = False
     decoder_norm: Optional[str] = None  # reference-effective: no decoder norm
     remat: bool = False  # rematerialize blocks (fit larger batches in HBM)
+    # TPU-optimized variant (opt-in, non-parity; quality-gated in
+    # tests/test_pipeline_e2e.py): space-to-depth stem, and the last_cross
+    # tail at half resolution — the final PixelShuffle + full-res ResBlock
+    # are ~40% of the model's FLOPs at 512² and run on 99 channels (25% MXU
+    # lane padding). Here last_cross fuses a 2x-downsampled input at /2 and
+    # the logits are upsampled bilinearly at the end.
+    tpu_opt: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         orig = x.astype(self.dtype)
         feats, skips = XResNetBody(self.arch, self.c_in, dtype=self.dtype,
-                                   remat=self.remat, name="encoder")(orig, train)
+                                   remat=self.remat, tpu_opt=self.tpu_opt,
+                                   name="encoder")(orig, train)
         ub_cls = nn.remat(UnetBlock, static_argnums=(3,)) if self.remat else UnetBlock
 
         ni = feats.shape[-1]
@@ -114,6 +123,26 @@ class DynamicUnet(nn.Module):
                 dtype=self.dtype,
                 name=f"up_{i}",
             )(y, skip, train)
+
+        if self.tpu_opt and y.shape[1] * 2 == orig.shape[1]:
+            # half-res tail: the full-res last_cross ResBlock is ~40% of
+            # model FLOPs on 99 lanes (25% MXU padding). Instead: fuse the
+            # input LOSSLESSLY via space-to-depth (every pixel reaches the
+            # /2 features), run the ResBlock at /2, and emit per-subpixel
+            # logits with a sub-pixel head (1×1 → n_out·4, pixel-shuffle) —
+            # same per-pixel expressiveness, ~30% of the tail FLOPs.
+            if self.last_cross:
+                y = jnp.concatenate([y, space_to_depth(orig, 2)], axis=-1)
+                ni_rb = y.shape[-1]
+                y = ResBlockNoNorm(ni_rb // 2 if self.bottle else ni_rb,
+                                   norm=self.decoder_norm, dtype=self.dtype,
+                                   name="last_cross")(y, train)
+            sub = nn.Conv(
+                self.n_out * 4, (1, 1), use_bias=True,
+                kernel_init=nn.initializers.he_normal(),
+                dtype=self.dtype, param_dtype=jnp.float32, name="head",
+            )(y)
+            return pixel_shuffle(sub, 2).astype(jnp.float32)
 
         if y.shape[1:3] != orig.shape[1:3]:
             # first encoder activation sits at /2, so one more shuffle

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvLayer, ResBlock, max_pool_torch
+from .layers import ConvLayer, ResBlock, max_pool_torch, space_to_depth
 
 # architecture name -> (expansion, blocks per stage)
 ARCHS: Dict[str, Tuple[int, Tuple[int, ...]]] = {
@@ -49,6 +49,13 @@ class XResNetBody(nn.Module):
     c_in: int = 3
     dtype: Any = jnp.bfloat16
     remat: bool = False  # rematerialize blocks: trade FLOPs for activation HBM
+    # space-to-depth stem (MLPerf ResNet trick): fold 2x2 spatial into
+    # channels and run the stride-2 stem conv as a stride-1 k2 conv at half
+    # resolution — a strict superset of the k3/s2 conv's function class (its
+    # taps land inside the k2xS2D receptive field), with an MXU-friendlier
+    # K dim (4*c_in*4=48 vs 27 taps for RGB) and no strided dgrad in the
+    # backward pass. Changes parameter shapes: opt-in via tpu_opt.
+    tpu_opt: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> Tuple[jax.Array, List[jax.Array]]:
@@ -59,7 +66,12 @@ class XResNetBody(nn.Module):
         # Stem: ConvLayer(c_in,32,stride2) → (32,32) → (32,64), then maxpool.
         # The reference's "multispectral swap" of body[0][0] (train.py:130-135)
         # is just c_in here.
-        x = ConvLayer(32, 3, 2, dtype=self.dtype, name="stem_0")(x, train)
+        if self.tpu_opt:
+            x = space_to_depth(x, 2)
+            x = ConvLayer(32, 2, 1, pad=((1, 0), (1, 0)), dtype=self.dtype,
+                          name="stem_0")(x, train)
+        else:
+            x = ConvLayer(32, 3, 2, dtype=self.dtype, name="stem_0")(x, train)
         x = ConvLayer(32, 3, 1, dtype=self.dtype, name="stem_1")(x, train)
         x = ConvLayer(64, 3, 1, dtype=self.dtype, name="stem_2")(x, train)
         stem_out = x  # skip at /2

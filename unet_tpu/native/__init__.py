@@ -61,6 +61,19 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_int), ctypes.c_longlong,
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
+        lib.unet_decode_batch_raw.restype = ctypes.c_int
+        lib.unet_decode_batch_raw.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+        ]
+        codec_sig = [ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+                     ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong]
+        for fn in ("unet_lzw_decode", "unet_lzw_encode",
+                   "unet_packbits_decode", "unet_packbits_encode"):
+            getattr(lib, fn).restype = ctypes.c_longlong
+            getattr(lib, fn).argtypes = codec_sig
         _lib = lib
     except OSError:
         _lib = None
@@ -98,6 +111,30 @@ def decode_batch(paths: List, height: int, width: int, channels: int,
     return out
 
 
+def decode_batch_raw(paths: List, height: int, width: int, channels: int,
+                     dtype: np.dtype, n_threads: int = 8,
+                     out: Optional[np.ndarray] = None) -> np.ndarray:
+    """Decode equally-sized tiles into an (N,H,W,C) batch in the files' own
+    sample type — 1 byte/px stays 1 byte/px through host RAM and the
+    host→device transfer. Raises on failure (caller falls back)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native decoder unavailable")
+    dt = np.dtype(dtype)
+    n = len(paths)
+    if out is None:
+        out = np.empty((n, height, width, channels), dt)
+    stride = height * width * channels * dt.itemsize
+    rc = lib.unet_decode_batch_raw(
+        _paths_array(paths), n,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), stride,
+        height, width, channels, dt.itemsize, int(dt.kind == "f"), n_threads,
+    )
+    if rc != 0:
+        raise RuntimeError(f"native raw decode failed on tile {rc - 1}: {paths[rc - 1]}")
+    return out
+
+
 def decode_masks(paths: List, height: int, width: int,
                  n_threads: int = 8, out: Optional[np.ndarray] = None) -> np.ndarray:
     lib = get_lib()
@@ -114,3 +151,36 @@ def decode_masks(paths: List, height: int, width: int,
     if rc != 0:
         raise RuntimeError(f"native mask decode failed on tile {rc - 1}: {paths[rc - 1]}")
     return out
+
+
+def _codec_call(fn_name: str, data: bytes, cap: int) -> Optional[bytes]:
+    """Run one of the native byte codecs; None if unavailable/failed."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = (ctypes.c_uint8 * len(data)).from_buffer_copy(data) if data else \
+        (ctypes.c_uint8 * 1)()
+    dst = (ctypes.c_uint8 * max(cap, 1))()
+    n = getattr(lib, fn_name)(src, len(data), dst, cap)
+    if n < 0:
+        return None
+    return bytes(bytearray(dst)[: n])
+
+
+def lzw_decode(data: bytes, expected: int) -> Optional[bytes]:
+    """Native TIFF-LZW decode (expected = exact decoded size)."""
+    out = _codec_call("unet_lzw_decode", data, expected)
+    return out if out is not None and len(out) == expected else None
+
+
+def lzw_encode(data: bytes) -> Optional[bytes]:
+    return _codec_call("unet_lzw_encode", data, 2 * len(data) + 1024)
+
+
+def packbits_decode(data: bytes, expected: int) -> Optional[bytes]:
+    out = _codec_call("unet_packbits_decode", data, expected)
+    return out if out is not None and len(out) == expected else None
+
+
+def packbits_encode(data: bytes) -> Optional[bytes]:
+    return _codec_call("unet_packbits_encode", data, 2 * len(data) + 1024)

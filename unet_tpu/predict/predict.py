@@ -158,6 +158,7 @@ def save_predictions(
     batch_size: int = 16,
     devices=None,
     device_merge: bool = False,
+    reference_quirks: bool = False,
 ) -> Path:
     """Predict every ``*.tif`` tile under ``predict_path``.
 
@@ -171,6 +172,10 @@ def save_predictions(
     predictor = Predictor(predict_model, batch_size=batch_size, devices=devices)
     if regression != predictor.regression:
         regression = predictor.regression
+    # the reference gates large_file int8 stretching on TRUTHY specific_class
+    # (predict.py:245-249), so class 0 behaves like None there; the default
+    # here treats any explicit class (including 0) as selected (PARITY.md)
+    sc_selected = bool(specific_class) if reference_quirks else (specific_class is not None)
 
     path = Path(predict_path)
     model_name = Path(predict_model).stem
@@ -268,7 +273,7 @@ def save_predictions(
             else:
                 out = class_stack[specific_class]
 
-            if large_file and np.max(class_stack) <= 1 and (all_classes or specific_class is not None):
+            if large_file and np.max(class_stack) <= 1 and (all_classes or sc_selected):
                 out = np.around(np.asarray(out) * ((128 / 4) - 1)).astype(np.int8)
 
             if class_zero:
@@ -292,7 +297,7 @@ def save_predictions(
                 summed, counter, regression=regression,
                 all_classes=all_classes, specific_class=specific_class,
             )
-            if large_file and not regression and (all_classes or specific_class is not None) \
+            if large_file and not regression and (all_classes or sc_selected) \
                     and np.max(mosaic) <= 1:
                 mosaic = np.around(mosaic * ((128 / 4) - 1)).astype(np.int8)
             transform, crs = mosaic_transform, mosaic_crs

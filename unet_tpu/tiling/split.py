@@ -133,6 +133,7 @@ def split_raster(
     max_empty: float = 0.9,
     class_zero: bool = False,
     seed: Optional[int] = None,
+    reference_quirks: bool = False,
 ) -> int:
     """Cut a large GeoTIFF (+ optional mask) into training/prediction tiles.
 
@@ -204,7 +205,14 @@ def split_raster(
         tile_transform = None
         if image.transform is not None:
             ulx, xres, xrot, uly, yrot, yres = image.transform
-            tile_transform = (ulx + win.x * xres, xres, 0.0, uly + win.y * yres, 0.0, yres)
+            if reference_quirks:
+                # create_tiles_unet.py:224-226 computes the tile's y origin
+                # with the X resolution: uly - ymax*geotrans[1]. Identical
+                # for square pixels (yres == -xres), wrong otherwise.
+                tile_uly = uly - win.y * xres
+            else:
+                tile_uly = uly + win.y * yres
+            tile_transform = (ulx + win.x * xres, xres, 0.0, tile_uly, 0.0, yres)
 
         write_raster(
             img_dir / f"{image_basename}_{index}.tif",

@@ -106,6 +106,7 @@ def load_bundle(bundle: Union[str, Path], best: bool = False):
         n_out=int(manifest["n_out"]),
         c_in=int(manifest["number_of_bands"]),
         self_attention=bool(manifest.get("self_attention", False)),
+        tpu_opt=bool(manifest.get("tpu_opt", False)),
     )
     x = np.zeros((1, int(manifest["patch_size"]), int(manifest["patch_size"]),
                   int(manifest["number_of_bands"])), np.float32)

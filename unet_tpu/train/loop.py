@@ -93,6 +93,7 @@ class TrainerConfig:
     # TPU-native knobs
     normalize: str = "reference"
     reference_quirks: bool = False
+    tpu_opt: bool = False  # space-to-depth stem + half-res tail (models/unet.py)
     bf16: bool = True
     seed: int = 0
     loader_threads: int = 8
@@ -136,7 +137,8 @@ class Trainer:
         self.cfg = cfg
         self.data_path = Path(cfg.data_path)
         self.dataset = TileDataset(self.data_path, valid_scenes=cfg.valid_scenes,
-                                   regression=cfg.regression)
+                                   regression=cfg.regression,
+                                   reference_quirks=cfg.reference_quirks)
         self.dtype_str = get_datatype(self.data_path)
         self.mesh = make_mesh(_choose_devices(cfg.batch_size, cfg.devices))
 
@@ -165,12 +167,13 @@ class Trainer:
 
         self.model = build_unet(
             arch=cfg.arch, n_out=self.n_out, c_in=self.c_in,
-            self_attention=cfg.self_attention,
+            self_attention=cfg.self_attention, tpu_opt=cfg.tpu_opt,
             dtype=jnp.bfloat16 if cfg.bf16 else jnp.float32,
         )
 
         self.class_weights = resolve_class_weights(
-            cfg.class_weights, cfg.codes, self.data_path, cfg.regression
+            cfg.class_weights, cfg.codes, self.data_path, cfg.regression,
+            reference_quirks=cfg.reference_quirks,
         )
         weight_arr = None if cfg.regression else jnp.asarray(self.class_weights, jnp.float32)
         self.loss_fn = build_loss(cfg.loss_func, cfg.regression, weight_arr)
@@ -199,16 +202,13 @@ class Trainer:
         variables = init_fn(jax.random.PRNGKey(self.cfg.seed), x)
         if self.cfg.pretrained_weights:
             # the reference's pretrained=True (train.py:128): ImageNet
-            # xresnet encoder weights, converted from a torch state_dict
-            import torch
+            # xresnet encoder weights — either a torch state_dict (.pth) or
+            # a pre-converted .npz from `python -m unet_tpu import-weights`
+            from ..models.torch_import import load_encoder_any
 
-            from ..models.torch_import import load_encoder
-
-            sd = torch.load(self.cfg.pretrained_weights, map_location="cpu",
-                            weights_only=True)
-            sd = {k: v.numpy() for k, v in sd.items()}
-            variables = load_encoder(
-                jax.tree_util.tree_map(np.asarray, variables), sd, self.cfg.arch
+            variables = load_encoder_any(
+                jax.tree_util.tree_map(np.asarray, variables),
+                self.cfg.pretrained_weights, self.cfg.arch,
             )
         return variables
 
@@ -269,10 +269,13 @@ class Trainer:
             )
 
         @jax.jit
-        def eval_step(state: TrainState, images, masks, n_valid, metric_state):
+        def eval_step(state: TrainState, images, masks, n_valid, key, metric_state):
             sample_mask = jnp.arange(images.shape[0]) < n_valid
+            # eval-time augmentation (split_idx=1/None) draws fresh
+            # randomness per batch like the reference's batch_tfms; with the
+            # default split_idx=0 this path only applies value scaling
             images, masks = augment_batch(
-                jax.random.PRNGKey(0), images, masks, aug_cfg,
+                key, images, masks, aug_cfg,
                 n_transform_imgs=cfg.n_transform_imgs, dtype_str=dtype_str,
                 normalize=cfg.normalize, split="valid", split_idx=cfg.split_idx,
                 reference_quirks=cfg.reference_quirks,
@@ -306,9 +309,11 @@ class Trainer:
         metric_state = self._metric_init()
         losses: List[Any] = []
         counts: List[int] = []
+        key = jax.random.PRNGKey(self.cfg.seed + 7)  # per-call eval stream
         for images, masks, n_valid in self.valid_loader:
+            key, sub = jax.random.split(key)
             images, masks = shard_batch(self.mesh, images, masks)
-            loss, metric_state = eval_step(state, images, masks, n_valid, metric_state)
+            loss, metric_state = eval_step(state, images, masks, n_valid, sub, metric_state)
             losses.append(loss)  # device scalar; fetched once below
             counts.append(n_valid)
         losses = [float(l) for l in jax.device_get(losses)]
@@ -421,20 +426,40 @@ class Trainer:
         key = jax.random.PRNGKey(self.cfg.seed + 2)
         it = 0
         best = np.inf
-        while it < num_it:
+        window: List[Any] = []  # device scalars; fetched once per window
+        WINDOW = 10  # a host sync per step costs ~25 ms through the axon
+        # tunnel (BENCH_NOTES.md); batching fetches keeps the sweep async
+
+        def drain() -> bool:
+            """Fetch the window's losses at once; True if diverged."""
+            nonlocal best, num_it
+            vals = [float(v) for v in jax.device_get(window)]
+            window.clear()
+            for v in vals:
+                losses.append(v if math.isfinite(v) else 1e9)
+                best = min(best, losses[-1])
+                if losses[-1] > 4 * best and len(losses) > 10:  # fastai stop
+                    num_it = len(losses)
+                    return True
+            return False
+
+        diverged = False
+        while it < num_it and not diverged:
             for images, masks, _ in self.train_loader:
                 if it >= num_it:
                     break
                 key, sub = jax.random.split(key)
                 images, masks = shard_batch(self.mesh, images, masks)
                 state, loss = train_step(state, images, masks, sub)
-                loss = float(loss)
-                losses.append(loss if math.isfinite(loss) else 1e9)
-                best = min(best, losses[-1])
+                window.append(loss)
                 it += 1
-                if losses[-1] > 4 * best and it > 10:  # fastai divergence stop
-                    num_it = it
-                    break
+                if len(window) >= WINDOW:
+                    diverged = drain()
+                    if diverged:
+                        break
+        if window and not diverged:
+            drain()
+        losses = losses[:num_it]
         self._lr_find_curve = (lrs[: len(losses)], losses)
         return suggest_lr(lrs[: len(losses)], losses, method)
 
@@ -500,6 +525,7 @@ class Trainer:
             # rebuild fields
             "n_out": self.n_out,
             "c_in": self.c_in,
+            "tpu_opt": cfg.tpu_opt,
             "dtype_str": self.dtype_str,
             "normalize": cfg.normalize,
             "resolved_class_weights": list(self.class_weights),
