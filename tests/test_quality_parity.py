@@ -1,0 +1,95 @@
+"""Quality-parity run on a realistic aerial fixture (VERDICT r1 item 5).
+
+The reference's north star is segmentation quality on multi-band aerial
+scenes (BASELINE.md: "mIoU parity on a held-out aerial scene"). This test
+drives the production configuration end-to-end on a realistic synthetic:
+RGBI+nDSM uint16 scene, imbalanced classes, nodata edge → split_raster →
+weighted class weights + focal loss + flip augmentation → training →
+prediction+merge mosaic → per-class IoU floors.
+
+The floors below are regression pins: recorded from the run documented in
+PARITY.md §Quality. They are deliberately below the observed values (CPU
+training of a small net for a few epochs has seed jitter) but far above
+chance, and they guard the full numeric path: scaling, weighting, focal
+loss, augmentation, optimizer, metrics, merge.
+"""
+
+import csv
+
+import numpy as np
+import pytest
+
+from aerial_fixture import class_iou, make_scene
+from unet_tpu.geo import read_raster, write_raster
+from unet_tpu.predict import save_predictions
+from unet_tpu.tiling import split_raster
+from unet_tpu.train import TrainerConfig, train_model
+
+T = (500000.0, 0.2, 0.0, 5400000.0, 0.0, -0.2)
+SIZE = 384
+TILE = 128
+CODES = ["nodata", "ground", "trees", "buildings", "water"]
+DICE_FLOOR = 0.70
+MIOU_FLOOR = 0.55
+
+
+@pytest.fixture(scope="module")
+def aerial_run(tmp_path_factory):
+    root = tmp_path_factory.mktemp("aerial")
+    img, cls = make_scene(SIZE, seed=4)
+    ip, mp = root / "scene.tif", root / "mask.tif"
+    write_raster(ip, img, transform=T, crs="EPSG:25833")
+    write_raster(mp, cls[None], transform=T, crs="EPSG:25833")
+
+    base = root / "tiles"
+    n = split_raster(str(ip), str(mp), str(base), patch_size=TILE,
+                     patch_overlap=0.2, split=[0.8, 0.2], max_empty=0.9, seed=1)
+    assert n >= 9
+
+    cfg = TrainerConfig(
+        data_path=base, model_path=root / "models", description="aerial",
+        batch_size=4, epochs=14, lr=3e-3, arch="xresnet18",
+        codes=CODES, class_weights="weighted", loss_func="focal",
+        bf16=False, seed=0, transforms=True,
+    )
+    bundle = train_model(cfg)
+    return root, ip, cls, bundle
+
+
+@pytest.mark.slow
+class TestAerialQuality:
+    def test_training_reaches_dice_floor(self, aerial_run):
+        root, _, _, bundle = aerial_run
+        hist = bundle / "aerial_history.csv"
+        rows = list(csv.DictReader(hist.open()))
+        best = max(float(r["dice_multi"]) for r in rows)
+        assert best >= DICE_FLOOR, f"dice_multi {best} below pinned floor"
+
+    def test_mosaic_miou_floor(self, aerial_run):
+        root, ip, cls, bundle = aerial_run
+        pred_base = root / "pred"
+        split_raster(str(ip), None, str(pred_base), patch_size=TILE,
+                     patch_overlap=0.2, max_empty=1.0)
+        out = save_predictions(str(bundle), str(pred_base / "img_tiles"),
+                               merge=True, AOI="aerial", year="2026",
+                               batch_size=4)
+        pred = read_raster(out).data[0]
+        assert pred.shape == cls.shape
+        ious, miou = class_iou(pred, cls, len(CODES))
+        detail = {CODES[c]: round(v, 3) for c, v in ious.items()}
+        print(f"\naerial mosaic mIoU={miou:.3f} per-class={detail}")
+        assert miou >= MIOU_FLOOR, f"mosaic mIoU {miou:.3f} below floor ({detail})"
+
+    def test_weighted_weights_reflect_imbalance(self, aerial_run):
+        root, _, cls, bundle = aerial_run
+        import json
+
+        manifest = json.loads((bundle / "aerial.json").read_text())
+        w = manifest["resolved_class_weights"]
+        assert len(w) == len(CODES)
+        assert all(np.isfinite(v) and v >= 0 for v in w)
+        # rare classes get larger inverse-frequency weights than common ones
+        # (which rare class tops depends on the train-tile sample, so compare
+        # a rare class against the dominant one with a wide margin)
+        assert w[CODES.index("water")] > 2 * w[CODES.index("ground")]
+        assert w[CODES.index("buildings")] > w[CODES.index("ground")]

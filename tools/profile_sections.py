@@ -179,7 +179,7 @@ def main():
         init_fn = jax.jit(partial(model.init, train=False))
         variables = init_fn(jax.random.PRNGKey(0), images)
         tx, _ = one_cycle_adam(variables["params"], 1e-4, total_steps=1000)
-        opt_init = jax.jit(tx.init)
+        opt_init = tx.init  # eager (donation aliasing)
         key = jax.random.PRNGKey(1)
 
         def loss_fn(params, bstats, x, m):
@@ -269,8 +269,16 @@ def main():
         from unet_tpu.data.augment import AugmentConfig, augment_batch
         from unet_tpu.train.optimizer import one_cycle_adam
 
-        for opt_flag in (False, True):
-            for bs_try in (B, B * 2):
+        import os
+        matrix_env = os.environ.get("TPUOPT_MATRIX", "")
+        if matrix_env:
+            matrix = [tuple(x.split(":")) for x in matrix_env.split(",")]
+            matrix = [(f == "1", int(b), a == "1") for f, b, a in matrix]
+        else:
+            matrix = [(False, B, True), (False, B * 2, True),
+                      (True, B, True), (True, B * 2, True)]
+        for opt_flag, bs_try, aug_on in matrix:
+            if True:
                 try:
                     model = build_unet("xresnet34", n_out=3, c_in=3,
                                        tpu_opt=opt_flag, dtype=jnp.bfloat16)
@@ -293,7 +301,10 @@ def main():
                     def scan_steps(params, bstats, opt_state, x, m, key):
                         def body(carry, k):
                             params, bstats, opt_state = carry
-                            xa, ma = augment_batch(k, x, m, AugmentConfig())
+                            if aug_on:
+                                xa, ma = augment_batch(k, x, m, AugmentConfig())
+                            else:
+                                xa, ma = x, m
                             (l, nb), g = jax.value_and_grad(loss_fn, has_aux=True)(
                                 params, bstats, xa, ma)
                             updates, opt_state = tx.update(g, opt_state, params)
@@ -307,7 +318,7 @@ def main():
 
                     sj = jax.jit(scan_steps, donate_argnums=(0, 1, 2))
                     p, bs_ = v["params"], v["batch_stats"]
-                    o = jax.jit(tx.init)(p)
+                    o = tx.init(p)
                     k = jax.random.PRNGKey(1)
                     for _ in range(2):
                         k, sub = jax.random.split(k)
@@ -321,11 +332,94 @@ def main():
                     _sync(l)
                     dt = (time.perf_counter() - t0 - lat) / (n_disp * K)
                     tps = bs_try / dt
-                    print(f"tpu_opt={opt_flag} bs={bs_try}: {dt*1e3:7.2f} ms/step "
+                    print(f"tpu_opt={opt_flag} bs={bs_try} aug={aug_on}: {dt*1e3:7.2f} ms/step "
                           f"= {tps:6.1f} tiles/s", flush=True)
                 except Exception as e:
-                    print(f"tpu_opt={opt_flag} bs={bs_try}: FAILED {str(e)[:100]}",
+                    print(f"tpu_opt={opt_flag} bs={bs_try} aug={aug_on}: FAILED {str(e)[:120]}",
                           flush=True)
+
+    if args.what in ("all", "optstep"):
+        # in-step optimizer variants on the tpu_opt bs16 config
+        import optax
+        from unet_tpu.data.augment import AugmentConfig, augment_batch
+        from unet_tpu.train.optimizer import one_cycle_adam
+
+        BS = B * 2
+        model = build_unet("xresnet34", n_out=3, c_in=3, tpu_opt=True,
+                           dtype=jnp.bfloat16)
+        imgs = jnp.asarray(rng.integers(0, 255, (BS, T, T, 3)).astype(np.float32))
+        msks = jnp.asarray(rng.integers(0, 3, (BS, T, T)).astype(np.int32))
+        init_fn3 = jax.jit(partial(model.init, train=False))
+        v0 = init_fn3(jax.random.PRNGKey(0), imgs)
+        tx, _ = one_cycle_adam(v0["params"], 1e-4, total_steps=1000)
+
+        def loss_fn(params, bstats, x, m):
+            logits, upd = model.apply({"params": params, "batch_stats": bstats}, x,
+                                      train=True, mutable=["batch_stats"])
+            return cross_entropy(logits, m), upd["batch_stats"]
+
+        K = 4
+
+        def run_scan(name, body_tail, opt_state_init):
+            def scan_steps(params, bstats, opt_state, x, m, key):
+                def body(carry, k):
+                    params, bstats, opt_state = carry
+                    xa, ma = augment_batch(k, x, m, AugmentConfig())
+                    (l, nb), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                        params, bstats, xa, ma)
+                    params, opt_state, l2 = body_tail(params, opt_state, g, l)
+                    return (params, nb, opt_state), l2
+
+                keys = jax.random.split(key, K)
+                (params, bstats, opt_state), losses = jax.lax.scan(
+                    body, (params, bstats, opt_state), keys)
+                return params, bstats, opt_state, losses[-1]
+
+            try:
+                sj = jax.jit(scan_steps, donate_argnums=(0, 1, 2))
+                v = init_fn3(jax.random.PRNGKey(0), imgs)
+                p, bs_ = v["params"], v["batch_stats"]
+                o = opt_state_init(p)
+                k = jax.random.PRNGKey(1)
+                for _ in range(2):
+                    k, sub = jax.random.split(k)
+                    p, bs_, o, l = sj(p, bs_, o, imgs, msks, sub)
+                lat = _fetch_latency(l)
+                t0 = time.perf_counter()
+                for _ in range(3):
+                    k, sub = jax.random.split(k)
+                    p, bs_, o, l = sj(p, bs_, o, imgs, msks, sub)
+                _sync(l)
+                dt = (time.perf_counter() - t0 - lat) / (3 * K)
+                print(f"{name:55s} {dt*1e3:8.2f} ms/step = {BS/dt:6.1f} t/s",
+                      flush=True)
+            except Exception as e:
+                print(f"{name:55s} FAILED {str(e)[:100]}", flush=True)
+
+        def tail_none(params, opt_state, g, l):
+            # consume EVERY grad leaf so no wgrad is DCE'd, but do no
+            # optimizer math
+            gl = jax.tree_util.tree_leaves(g)
+            s = sum(x.ravel()[0] for x in gl)
+            return params, opt_state, l + s * 1e-20
+
+        run_scan("fwd+bwd only (grads kept)", tail_none, lambda p: jnp.zeros(()))
+
+        def tail_flat(params, opt_state, g, l):
+            updates, opt_state = tx.update(g, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, l
+
+        run_scan("flat adam + per-leaf apply (current)", tail_flat,
+                 lambda p: tx.init(p))
+
+        otx = optax.adamw(1e-4, b1=0.9, b2=0.99, eps=1e-5, weight_decay=1e-6)
+
+        def tail_optax(params, opt_state, g, l):
+            updates, opt_state = otx.update(g, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state, l
+
+        run_scan("stock optax.adamw (tree kernels)", tail_optax,
+                 lambda p: jax.jit(otx.init)(p))
 
     if args.what in ("all", "optalone"):
         # the optimizer update in isolation: is it genuinely ~25 ms, and why?

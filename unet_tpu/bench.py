@@ -70,7 +70,7 @@ def bench_train(tile: int = 512, batch_size: int = 8, steps: int = 24,
     variables = jax.jit(partial(model.init, train=False))(jax.random.PRNGKey(0), images)
     tx, _ = one_cycle_adam(variables["params"], 1e-4, total_steps=1000)
     params, batch_stats = variables["params"], variables["batch_stats"]
-    opt_state = jax.jit(tx.init)(params)
+    opt_state = tx.init(params)  # eager: see fastai_adam docstring (donation aliasing)
 
     def loss_fn(params, batch_stats, x, m):
         logits, updates = model.apply(

@@ -115,9 +115,13 @@ class DynamicUnet(nn.Module):
         n = len(skips)
         for i, skip in enumerate(skips):
             not_final = i != n - 1
+            # tpu_opt: skip the anti-checkerboard blur — it doubles each
+            # upsample's cost (replication-pad + stride-1 avg-pool are pure
+            # HBM traffic at the block's full output res) while ICNR init
+            # already suppresses checkerboarding; quality-gated e2e
             y = ub_cls(
                 final_div=not_final,
-                blur=self.blur and (not_final or self.blur_final),
+                blur=(not self.tpu_opt) and self.blur and (not_final or self.blur_final),
                 self_attention=self.self_attention and (i == n - 3),
                 norm=self.decoder_norm,
                 dtype=self.dtype,

@@ -44,13 +44,8 @@ def jnp_combined_cos(
 
 class FastaiAdamState(NamedTuple):
     count: Array
-    # moments [mu; nu] as ONE (2, n) fp32 array over all params flattened.
-    # Two separate jnp.zeros((n,)) leaves CSE into a single buffer under
-    # jit(init), and donating that state then fails with "attempt to donate
-    # the same buffer twice" — packing sidesteps buffer aliasing entirely.
-    moments: Array
-    # [lr_scale; wd_mask] as ONE (2, n) array, same aliasing rationale
-    static: Array
+    mu: Any  # first-moment pytree matching params
+    nu: Any  # second-moment pytree
 
 
 def param_group_label(path: Tuple, _leaf=None) -> int:
@@ -71,27 +66,6 @@ def label_params(params: Any) -> Any:
     return jax.tree_util.tree_map_with_path(lambda p, v: param_group_label(p), params)
 
 
-def _flatten(tree: Any) -> Array:
-    """Ravel+concatenate a pytree of fp32 leaves into one vector.
-
-    Per-leaf optimizer math launches ~3 tiny kernels per parameter leaf
-    (~900 for xresnet34-unet) at ~25 µs each through the axon platform —
-    measured at ~24 ms/step, a quarter of the whole train step. In flat
-    space the update is ~6 large fused kernels."""
-    leaves = jax.tree_util.tree_leaves(tree)
-    return jnp.concatenate([jnp.ravel(l).astype(jnp.float32) for l in leaves])
-
-
-def _unflatten_like(flat: Array, tree: Any) -> Any:
-    leaves, treedef = jax.tree_util.tree_flatten(tree)
-    out = []
-    off = 0
-    for l in leaves:
-        out.append(flat[off : off + l.size].reshape(l.shape).astype(l.dtype))
-        off += l.size
-    return jax.tree_util.tree_unflatten(treedef, out)
-
-
 def fastai_adam(
     lr_fn: Schedule,
     mom_fn: Schedule,
@@ -105,26 +79,24 @@ def fastai_adam(
     multipliers (the fastai discriminative-LR groups).
 
     ``lr_fn`` gives the top group's LR at a step; ``lr_scales`` is a pytree
-    of python floats matching the params tree (group_lr / top_lr). The whole
-    update runs in one flat fp32 vector space.
+    of python floats matching the params tree (group_lr / top_lr) that folds
+    into each leaf's fused update kernel as a constant — no dynamic gather.
+
+    Perf notes (BENCH_NOTES.md round 2): per-leaf kernels measured FASTER
+    in-step than a flattened single-vector update (the ravel/concat +
+    unflatten passes cost more than ~320 small fused kernels), so this stays
+    tree-shaped. Do NOT wrap ``init`` in ``jax.jit``: equal-shaped zero
+    leaves CSE into one buffer under jit and a later donation of the state
+    fails with "attempt to donate the same buffer twice"; eager init
+    allocates distinct buffers.
     """
 
     def init(params):
-        # the per-element vectors live in optimizer STATE: as jit-captured
-        # constants they would constant-fold into a ~165 MB HLO literal,
-        # which the remote-compile tunnel rejects (HTTP 413 / INVALID_ARGUMENT)
-        leaves = jax.tree_util.tree_leaves(params)
-        scale_leaves = jax.tree_util.tree_leaves(lr_scales)
-        n = sum(l.size for l in leaves)
-        lr_vec = jnp.concatenate(
-            [jnp.full((l.size,), float(s), jnp.float32)
-             for l, s in zip(leaves, scale_leaves)])
-        wd_vec = jnp.concatenate(
-            [jnp.full((l.size,), 1.0 if (wd_bn_bias or l.ndim > 1) else 0.0,
-                      jnp.float32) for l in leaves])
-        return FastaiAdamState(count=jnp.zeros((), jnp.int32),
-                               moments=jnp.zeros((2, n), jnp.float32),
-                               static=jnp.stack([lr_vec, wd_vec]))
+        return FastaiAdamState(
+            count=jnp.zeros((), jnp.int32),
+            mu=jax.tree_util.tree_map(jnp.zeros_like, params),
+            nu=jax.tree_util.tree_map(jnp.zeros_like, params),
+        )
 
     def update(grads, state, params=None):
         if params is None:
@@ -132,24 +104,24 @@ def fastai_adam(
         count = state.count + 1
         step0 = state.count  # hypers evaluated at the pre-step position, as fastai does
         b1 = mom_fn(step0)
-        lr = lr_fn(step0) * state.static[0]
-        wd_vec = state.static[1]
-
-        g = _flatten(grads)
-        p = _flatten(params)
-        decay = jnp.stack([b1, jnp.asarray(sqr_mom, b1.dtype)])[:, None]
-        g2 = jnp.stack([g, g * g])
-        moments = decay * state.moments + (1.0 - decay) * g2
-        mu, nu = moments[0], moments[1]
+        lr = lr_fn(step0)
         debias1 = 1.0 - b1**count
         debias2 = 1.0 - sqr_mom**count
-        delta = -lr * (mu / debias1) / (jnp.sqrt(nu / debias2) + eps)
-        if wd:
-            delta = delta - lr * wd * wd_vec * p
 
-        updates = _unflatten_like(delta, params)
-        return updates, FastaiAdamState(count=count, moments=moments,
-                                        static=state.static)
+        mu = jax.tree_util.tree_map(lambda m, g: b1 * m + (1.0 - b1) * g,
+                                    state.mu, grads)
+        nu = jax.tree_util.tree_map(lambda v, g: sqr_mom * v + (1.0 - sqr_mom) * g * g,
+                                    state.nu, grads)
+
+        def step_leaf(m, v, p, scale):
+            leaf_lr = lr * float(scale)
+            delta = -leaf_lr * (m / debias1) / (jnp.sqrt(v / debias2) + eps)
+            if wd and (wd_bn_bias or p.ndim > 1):
+                delta = delta - leaf_lr * wd * p
+            return delta
+
+        updates = jax.tree_util.tree_map(step_leaf, mu, nu, params, lr_scales)
+        return updates, FastaiAdamState(count=count, mu=mu, nu=nu)
 
     return optax.GradientTransformation(init, update)
 
