@@ -19,8 +19,10 @@ class TestBlend:
         tiles = jnp.asarray(rng.normal(size=(5, 16, 16, 3)).astype(np.float32))
         rows = np.array([0, 0, 48, 8, 24], np.int32)
         cols = np.array([0, 48, 0, 8, 24], np.int32)
+        # blend_tiles_xla donates its mosaic arg — compute the reference first
+        ref = _ref_blend(mosaic, tiles, rows, cols)
         got = blend_tiles_xla(mosaic, tiles, jnp.asarray(rows), jnp.asarray(cols))
-        np.testing.assert_allclose(np.asarray(got), _ref_blend(mosaic, tiles, rows, cols), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-6)
 
     def test_pallas_blend_interpret_matches(self, rng):
         mosaic = jnp.zeros((64, 64, 4), jnp.float32)
@@ -106,3 +108,58 @@ class TestFusedFlipScale:
                                         jnp.ones(2, jnp.float32), interpret=True)
         assert got_m is None
         np.testing.assert_allclose(np.asarray(got_i)[0], np.asarray(imgs)[0, :, ::-1], rtol=1e-6)
+
+
+class TestBlockedBlend:
+    """blend_tiles_blocked: the Pallas path verified correct on real TPU
+    hardware (BENCH_NOTES.md); interpret-mode equivalence pinned here."""
+
+    def test_matches_xla_scan_random_overlaps(self, rng):
+        from unet_tpu.ops.blend import blend_tiles_blocked, blend_tiles_xla
+
+        H, W, th, tw, C, n = 96, 160, 32, 32, 3, 11
+        mosaic0 = rng.normal(size=(H, W, C)).astype(np.float32)
+        tiles = rng.normal(size=(n, th, tw, C)).astype(np.float32)
+        rows = rng.integers(0, H - th + 1, n)
+        cols = rng.integers(0, W - tw + 1, n)
+        ref = blend_tiles_xla(jnp.asarray(mosaic0), jnp.asarray(tiles),
+                              jnp.asarray(rows, jnp.int32), jnp.asarray(cols, jnp.int32))
+        got = blend_tiles_blocked(jnp.asarray(mosaic0.copy()), jnp.asarray(tiles),
+                                  rows, cols, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_grid_aligned_offsets(self, rng):
+        """Tiles exactly on the block grid (single-quadrant case)."""
+        from unet_tpu.ops.blend import blend_tiles_blocked, blend_tiles_xla
+
+        H = W = 64
+        th = tw = 32
+        tiles = rng.normal(size=(4, th, tw, 2)).astype(np.float32)
+        rows = np.array([0, 0, 32, 32])
+        cols = np.array([0, 32, 0, 32])
+        ref = blend_tiles_xla(jnp.zeros((H, W, 2)), jnp.asarray(tiles),
+                              jnp.asarray(rows, jnp.int32), jnp.asarray(cols, jnp.int32))
+        got = blend_tiles_blocked(jnp.zeros((H, W, 2)), jnp.asarray(tiles),
+                                  rows, cols, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+
+    def test_mosaic_must_be_block_multiple(self, rng):
+        from unet_tpu.ops.blend import blend_tiles_blocked
+
+        with pytest.raises(ValueError, match="not a multiple"):
+            blend_tiles_blocked(jnp.zeros((40, 64, 2)),
+                                jnp.zeros((1, 32, 32, 2)),
+                                np.array([0]), np.array([0]), interpret=True)
+
+    def test_device_mosaic_padded_finalize(self, rng):
+        """DeviceMosaic pads to block multiples and crops on finalize."""
+        from unet_tpu.ops.blend import DeviceMosaic
+
+        dm = DeviceMosaic(50, 70, n_classes=2, use_pallas=False)
+        probs = rng.random(size=(2, 32, 32, 2)).astype(np.float32)
+        dm.add_batch(jnp.asarray(probs), np.array([0, 18]), np.array([0, 38]))
+        summed, counter = dm.finalize()
+        assert summed.shape == (2, 50, 70) and counter.shape == (50, 70)
+        assert counter[0, 0] == 1 and counter[20, 40] == 1
+        assert counter[49, 69] == 1 and counter[0, 69] == 0  # (18,38)+32 covers (49,69)

@@ -338,6 +338,79 @@ def main():
                     print(f"tpu_opt={opt_flag} bs={bs_try} aug={aug_on}: FAILED {str(e)[:120]}",
                           flush=True)
 
+    if args.what in ("all", "nobn"):
+        # upper bound: what would the step cost with zero normalization?
+        import optax
+        from unet_tpu.data.augment import AugmentConfig, augment_batch
+        from unet_tpu.train.optimizer import one_cycle_adam
+        import unet_tpu.models.layers as L
+        import unet_tpu.models.unet as U
+        from typing import Any as _Any
+
+        class NoBN(nn.Module):
+            use_running_average: bool = True
+            momentum: float = 0.9
+            epsilon: float = 1e-5
+            dtype: _Any = None
+            param_dtype: _Any = None
+            scale_init: _Any = None
+
+            @nn.compact
+            def __call__(self, x):
+                return x
+
+        orig = nn.BatchNorm
+        L.nn.BatchNorm = NoBN
+        U.nn.BatchNorm = NoBN
+        try:
+            BS = B * 2
+            model = build_unet("xresnet34", n_out=3, c_in=3, tpu_opt=True,
+                               dtype=jnp.bfloat16)
+            imgs = jnp.asarray(rng.integers(0, 255, (BS, T, T, 3)).astype(np.float32))
+            msks = jnp.asarray(rng.integers(0, 3, (BS, T, T)).astype(np.int32))
+            v = jax.jit(partial(model.init, train=False))(jax.random.PRNGKey(0), imgs)
+            tx, _ = one_cycle_adam(v["params"], 1e-4, total_steps=1000)
+
+            def loss_fn(params, x, m):
+                logits = model.apply({"params": params}, x, train=False)
+                return cross_entropy(logits, m)
+
+            K = 4
+
+            def scan_steps(params, opt_state, x, m, key):
+                def body(carry, k):
+                    params, opt_state = carry
+                    xa, ma = augment_batch(k, x, m, AugmentConfig())
+                    l, g = jax.value_and_grad(loss_fn)(params, xa, ma)
+                    updates, opt_state = tx.update(g, opt_state, params)
+                    params = optax.apply_updates(params, updates)
+                    return (params, opt_state), l
+
+                keys = jax.random.split(key, K)
+                (params, opt_state), losses = jax.lax.scan(
+                    body, (params, opt_state), keys)
+                return params, opt_state, losses[-1]
+
+            sj = jax.jit(scan_steps, donate_argnums=(0, 1))
+            p = v["params"]
+            o = tx.init(p)
+            k = jax.random.PRNGKey(1)
+            for _ in range(2):
+                k, sub = jax.random.split(k)
+                p, o, l = sj(p, o, imgs, msks, sub)
+            lat = _fetch_latency(l)
+            t0 = time.perf_counter()
+            for _ in range(3):
+                k, sub = jax.random.split(k)
+                p, o, l = sj(p, o, imgs, msks, sub)
+            _sync(l)
+            dt = (time.perf_counter() - t0 - lat) / (3 * K)
+            print(f"tpu_opt bs={BS} NO-BN step: {dt*1e3:7.2f} ms = {BS/dt:6.1f} t/s",
+                  flush=True)
+        finally:
+            L.nn.BatchNorm = orig
+            U.nn.BatchNorm = orig
+
     if args.what in ("all", "optstep"):
         # in-step optimizer variants on the tpu_opt bs16 config
         import optax

@@ -8,23 +8,28 @@ kernel keeps the whole mosaic in HBM and scatter-adds each predicted tile
 batch at its dynamic (row, col) offset, so only the finished mosaic crosses
 to host once.
 
-Design notes (see /opt/skills/guides/pallas_guide.md):
-* mosaic lives in ``pltpu.ANY`` (compiler-placed, HBM for big mosaics) and
-  is aliased input→output — a true in-place accumulation
-* per-tile (row, col) offsets ride in scalar-prefetch SMEM
-  (``PrefetchScalarGridSpec``) so the kernel can compute its DMA slices
-  before the body runs
-* each grid step DMAs the target window HBM→VMEM, adds the tile (VPU),
-  and DMAs back; TPU grid steps execute sequentially on the core, so the
-  read-modify-write is race-free even for overlapping tiles
-* the overlap counter is carried as an extra trailing channel, folded into
-  the same buffer to halve DMA count
+Three implementations, all equivalent (cross-checked in tests):
+* ``blend_tiles_xla`` — lax.scan of dynamic_slice/add/update. The
+  production default: measured fastest (TPU handles the slice pipeline
+  well; 14.2 ms for 32×512²×4 tiles ≈ 28 GB/s effective, BENCH_NOTES.md).
+* ``blend_tiles_blocked`` — Pallas, verified CORRECT on the real chip:
+  tiles are pre-split into ≤4 block-aligned quadrant contributions, sorted
+  by destination block (host-side — offsets are host data), and the kernel
+  accumulates consecutive same-block runs in resident VMEM with block
+  selection via scalar-prefetch index_map (the shape this platform's
+  Mosaic accepts). Opt-in: the 4× contribution amplification makes it ~2×
+  slower than the scan today.
+* ``blend_tiles`` — Pallas with in-body scalar-derived DMA offsets; this
+  platform's Mosaic rejects unaligned lane slices (C≪128), kept for
+  interpret-mode reference.
+* the overlap counter rides as an extra trailing channel, folded into
+  the same buffer to halve traffic
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -90,6 +95,143 @@ def blend_tiles(mosaic: jax.Array, tiles: jax.Array, rows: jax.Array,
     )(rows.astype(jnp.int32), cols.astype(jnp.int32), tiles, mosaic)
 
 
+def _blocked_kernel(brs_ref, bcs_ref, contribs_ref, mosaic_ref, out_ref):
+    """One grid step = one row-chunk of one (sorted) tile-quadrant
+    contribution; grid is (row_chunks, contributions) with the chunk dim
+    OUTER so that for a fixed chunk the contribution run is consecutive.
+
+    Consecutive steps that map to the same output block accumulate in the
+    resident VMEM buffer (the canonical pallas reduction pattern); the
+    first step of each block run seeds it from the existing mosaic. Because
+    contributions are pre-sorted by block and chunks are disjoint, no
+    output block is ever revisited after its run ends — no read-after-write
+    hazard with the pipeline's lookahead — and no DMA offset is derived
+    from a scalar inside the body (the axon Mosaic compiler rejects that
+    shape; block selection happens in the index_map instead, the documented
+    scalar-prefetch pattern)."""
+    i = pl.program_id(1)
+    prev = jnp.maximum(i - 1, 0)
+    first = (i == 0) | (brs_ref[i] != brs_ref[prev]) | (bcs_ref[i] != bcs_ref[prev])
+
+    @pl.when(first)
+    def _():
+        out_ref[...] = mosaic_ref[...] + contribs_ref[0]
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        out_ref[...] = out_ref[...] + contribs_ref[0]
+
+
+def _quadrant_contributions(tiles: jax.Array, rows: jax.Array, cols: jax.Array,
+                            th: int, tw: int):
+    """Split each tile into its ≤4 block-aligned quadrant contributions.
+
+    Returns (contribs (4N, th, tw, C), block_rows (4N,), block_cols (4N,))
+    — contribution q of tile i is the tile shifted into the frame of mosaic
+    block (rows[i]//th + qy, cols[i]//tw + qx), zero-filled outside."""
+    n = tiles.shape[0]
+    ry = rows % th   # in-block offset
+    cx = cols % tw
+
+    def shift_tile(tile, dy, dx):
+        # roll + mask = shift with zero fill (dy, dx in (-th, th))
+        rolled = jnp.roll(tile, (dy, dx), axis=(0, 1))
+        yy = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
+        ok_y = jnp.where(dy >= 0, yy >= dy, yy < th + dy)
+        ok_x = jnp.where(dx >= 0, xx >= dx, xx < tw + dx)
+        return jnp.where((ok_y & ok_x)[..., None], rolled, 0.0)
+
+    parts = []
+    ids = []
+    for qy in (0, 1):
+        for qx in (0, 1):
+            dy = ry - qy * th  # shift of tile origin within this block frame
+            dx = cx - qx * tw
+            parts.append(jax.vmap(shift_tile)(tiles, dy, dx))
+            ids.append((rows // th + qy, cols // tw + qx))
+    contribs = jnp.concatenate(parts, axis=0)
+    brs = jnp.concatenate([i[0] for i in ids])
+    bcs = jnp.concatenate([i[1] for i in ids])
+    return contribs, brs, bcs
+
+
+def blend_tiles_blocked(mosaic: jax.Array, tiles: jax.Array,
+                        rows: np.ndarray, cols: np.ndarray,
+                        interpret: bool = False) -> jax.Array:
+    """Pallas scatter-add of tiles into the mosaic via block-aligned
+    quadrant contributions (see ``_blocked_kernel``).
+
+    mosaic: (H, W, C) float32 with H % th == 0 and W % tw == 0 — donated.
+    rows/cols: HOST integer offsets (needed to sort contributions by block).
+    """
+    n, th, tw, c = tiles.shape
+    H, W, _ = mosaic.shape
+    if H % th or W % tw:
+        raise ValueError(f"mosaic {H}x{W} not a multiple of tile {th}x{tw}")
+    rows = np.asarray(rows, np.int32)
+    cols = np.asarray(cols, np.int32)
+    # host-side: quadrant block ids + sort order (offsets are host data).
+    # Out-of-range quadrant ids (tiles aligned to the grid end — their
+    # contribution is provably all-zero) are clamped BEFORE sorting: the
+    # kernel's correctness rests on same-block visits being consecutive,
+    # and clamping after the sort would break that invariant.
+    nb_r, nb_c = H // th, W // tw
+    brs_h = np.minimum(np.concatenate([rows // th + qy for qy in (0, 0, 1, 1)]), nb_r - 1)
+    bcs_h = np.minimum(np.concatenate([cols // tw + qx for qx in (0, 1, 0, 1)]), nb_c - 1)
+    order = np.lexsort((bcs_h, brs_h)).astype(np.int32)
+
+    return _blocked_run(mosaic, tiles, jnp.asarray(rows), jnp.asarray(cols),
+                        jnp.asarray(order), jnp.asarray(brs_h[order]),
+                        jnp.asarray(bcs_h[order]), interpret=interpret)
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("interpret",))
+def _blocked_run(mosaic, tiles, rows_d, cols_d, order_d, brs_d, bcs_d,
+                 interpret=False):
+    # module-level jit: caches on shapes — DeviceMosaic calls this once per
+    # batch with stable shapes, so compilation happens once
+    n, th, tw, c = tiles.shape
+    H, W, _ = mosaic.shape
+    if True:
+        contribs, _, _ = _quadrant_contributions(tiles, rows_d, cols_d, th, tw)
+        contribs = jnp.take(contribs, order_d, axis=0)
+        # fold C into the lane dim (free bitcast reshape): a (th, tw, C)
+        # block would pad C→128 lanes (32× VMEM for C=4, instant OOM);
+        # (th, tw·C) keeps lanes dense and the layout identical
+        contribs2 = contribs.reshape(4 * n, th, tw * c)
+        mosaic2 = mosaic.reshape(H, W * c)
+        # row-chunk so 3 windows × 2 pipeline buffers fit scoped VMEM (16 MB)
+        rb = th
+        while rb > 8 and rb * tw * c * 4 > 2 * 1024 * 1024:
+            rb //= 2
+        if th % rb:
+            raise ValueError(f"tile height {th} not chunkable to VMEM")
+        k = th // rb
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(k, 4 * n),  # chunk dim OUTER: per-chunk runs stay consecutive
+            in_specs=[
+                pl.BlockSpec((1, rb, tw * c), lambda j, i, brs, bcs: (i, j, 0)),
+                pl.BlockSpec((rb, tw * c),
+                             lambda j, i, brs, bcs: (brs[i] * k + j, bcs[i])),
+            ],
+            out_specs=pl.BlockSpec((rb, tw * c),
+                                   lambda j, i, brs, bcs: (brs[i] * k + j, bcs[i])),
+        )
+        out = pl.pallas_call(
+            _blocked_kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(mosaic2.shape, mosaic2.dtype),
+            input_output_aliases={3: 0},  # mosaic input (after prefetch args) → out
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary", "arbitrary")),
+            interpret=interpret,
+        )(brs_d, bcs_d, contribs2, mosaic2)
+        return out.reshape(H, W, c)
+
+
+@partial(jax.jit, donate_argnums=(0,))
 def blend_tiles_xla(mosaic: jax.Array, tiles: jax.Array, rows: jax.Array,
                     cols: jax.Array) -> jax.Array:
     """Reference XLA implementation (scan of dynamic_update_slice) — used
@@ -112,29 +254,50 @@ class DeviceMosaic:
     both. ``finalize()`` fetches the mosaic to host once and divides.
     """
 
-    def __init__(self, height: int, width: int, n_classes: int, use_pallas: bool = False):
+    def __init__(self, height: int, width: int, n_classes: int,
+                 use_pallas: Optional[bool] = None):
         self.n_classes = n_classes
-        self.buf = jnp.zeros((height, width, n_classes + 1), jnp.float32)
-        # the Pallas kernel is correctness-verified (interpret mode) but the
-        # current axon Mosaic build crashes on DMA offsets derived from
-        # scalar-prefetch values (platform bug, see BENCH_NOTES.md); the XLA
-        # scan path gives the same on-device accumulation and is the default
-        self.use_pallas = use_pallas and jax.default_backend() == "tpu"
+        self.height, self.width = height, width
+        self.buf = None  # allocated (padded to tile blocks) on first batch
+        # default: the XLA dynamic-slice scan. The blocked Pallas kernel
+        # (blend_tiles_blocked) is verified correct on real TPU hardware,
+        # but its 4× quadrant-contribution amplification makes it ~2×
+        # slower than the scan (measured 29.6 vs 14.2 ms for 32×512² tiles,
+        # BENCH_NOTES.md) — ship it opt-in until a shift-in-kernel variant
+        # lands. The in-body scalar-DMA variant (blend_tiles) is rejected
+        # by this platform's Mosaic for unaligned lane slices (C=4).
+        if use_pallas is None:
+            use_pallas = False
+        self.use_pallas = use_pallas
+
+    def _ensure_buf(self, th: int, tw: int) -> None:
+        if self.buf is None:
+            ph = ((self.height + th - 1) // th) * th
+            pw = ((self.width + tw - 1) // tw) * tw
+            self.buf = jnp.zeros((ph, pw, self.n_classes + 1), jnp.float32)
 
     def add_batch(self, probs: jax.Array, rows: np.ndarray, cols: np.ndarray) -> None:
-        """probs: (N, th, tw, C) device array; rows/cols host offsets."""
+        """probs: (N, th, tw, C) device array; rows/cols HOST offsets."""
         ones = jnp.ones((*probs.shape[:3], 1), jnp.float32)
         tiles = jnp.concatenate([probs.astype(jnp.float32), ones], axis=-1)
-        r = jnp.asarray(rows, jnp.int32)
-        c = jnp.asarray(cols, jnp.int32)
-        if self.use_pallas:
-            self.buf = blend_tiles(self.buf, tiles, r, c)
-        else:
-            self.buf = blend_tiles_xla(self.buf, tiles, r, c)
+        th, tw = tiles.shape[1], tiles.shape[2]
+        self._ensure_buf(th, tw)
+        if self.use_pallas and self.buf.shape[0] % th == 0 and self.buf.shape[1] % tw == 0:
+            try:
+                self.buf = blend_tiles_blocked(self.buf, tiles,
+                                               np.asarray(rows), np.asarray(cols))
+                return
+            except Exception as e:  # pragma: no cover - platform dependent
+                import warnings
+
+                warnings.warn(f"Pallas blend failed ({e}); falling back to XLA scan")
+                self.use_pallas = False
+        self.buf = blend_tiles_xla(self.buf, tiles, jnp.asarray(rows, jnp.int32),
+                                   jnp.asarray(cols, jnp.int32))
 
     def finalize(self) -> Tuple[np.ndarray, np.ndarray]:
         """(summed (C,H,W), counter (H,W)) on host."""
-        host = np.asarray(jax.device_get(self.buf))
+        host = np.asarray(jax.device_get(self.buf))[: self.height, : self.width]
         summed = np.moveaxis(host[..., : self.n_classes], 2, 0)
         counter = host[..., self.n_classes]
         return summed, counter
