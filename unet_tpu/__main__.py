@@ -74,7 +74,7 @@ def build_parser() -> argparse.ArgumentParser:
 
     bench = sub.add_parser("bench", help="run the training/inference benchmark")
     bench.add_argument("--tile", type=int, default=512)
-    bench.add_argument("--batch-size", type=int, default=8)
+    bench.add_argument("--batch-size", type=int, default=16)
     bench.add_argument("--steps", type=int, default=20)
 
     iw = sub.add_parser(

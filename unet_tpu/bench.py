@@ -57,6 +57,30 @@ def _fetch_latency(x) -> float:
     return sorted(samples)[len(samples) // 2]
 
 
+def build_train_step(model, tx):
+    """Single donated-jit train step (augment + fwd/bwd + optimizer) —
+    used by __graft_entry__.dryrun_multichip to validate the sharded step."""
+
+    def loss_fn(params, batch_stats, images, masks):
+        logits, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats}, images,
+            train=True, mutable=["batch_stats"],
+        )
+        return cross_entropy(logits, masks), updates["batch_stats"]
+
+    @partial(jax.jit, donate_argnums=(0, 1, 2))
+    def train_step(params, batch_stats, opt_state, images, masks, key):
+        images, masks = augment_batch(key, images, masks, AugmentConfig())
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch_stats, images, masks
+        )
+        updates, new_opt = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_stats, new_opt, loss
+
+    return train_step
+
+
 def bench_train(tile: int = 512, batch_size: int = 8, steps: int = 24,
                 arch: str = "xresnet34", n_classes: int = 3, c_in: int = 3,
                 tpu_opt: bool = True, scan_k: int = 4) -> dict:
@@ -275,7 +299,7 @@ def bench_e2e_train(tile: int = 512, batch_size: int = 8, n_tiles: int = 32,
     }
 
 
-def run_benchmark(tile: int = 512, batch_size: int = 8, steps: int = 24,
+def run_benchmark(tile: int = 512, batch_size: int = 16, steps: int = 24,
                   predict_batch: Optional[int] = None) -> dict:
     import sys
 
