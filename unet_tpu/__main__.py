@@ -32,6 +32,8 @@ def build_parser() -> argparse.ArgumentParser:
     tile.add_argument("--split", type=float, nargs="+", default=[0.8, 0.2])
     tile.add_argument("--max-empty", type=float, default=0.9)
     tile.add_argument("--class-zero", action="store_true")
+    tile.add_argument("--seed", type=int, default=None)
+    tile.add_argument("--reference-quirks", action="store_true")
 
     tr = sub.add_parser("train", help="train a model on a tile dataset")
     tr.add_argument("data_path")
@@ -47,6 +49,12 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--self-attention", action="store_true")
     tr.add_argument("--existing-model", default=None)
     tr.add_argument("--lr-finder", default=None)
+    tr.add_argument("--pretrained-weights", default=None,
+                    help="torch .pth or converted .npz (see import-weights)")
+    tr.add_argument("--tpu-opt", action="store_true",
+                    help="TPU-optimized topology (s2d stem, half-res tail)")
+    tr.add_argument("--seed", type=int, default=0)
+    tr.add_argument("--reference-quirks", action="store_true")
 
     pr = sub.add_parser("predict", help="predict tiles with a trained bundle")
     pr.add_argument("model")
@@ -60,6 +68,7 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--year", default=None)
     pr.add_argument("--validation-vision", action="store_true")
     pr.add_argument("--batch-size", type=int, default=16)
+    pr.add_argument("--reference-quirks", action="store_true")
 
     sv = sub.add_parser("serve", help="predict a whole GeoTIFF directly (no tile files)")
     sv.add_argument("model")
@@ -98,7 +107,8 @@ def cli(argv=None) -> int:
         from .tiling import split_raster
 
         n = split_raster(args.image, args.mask, args.base_dir, args.patch_size,
-                         args.patch_overlap, args.split, args.max_empty, args.class_zero)
+                         args.patch_overlap, args.split, args.max_empty, args.class_zero,
+                         seed=args.seed, reference_quirks=args.reference_quirks)
         print(f"{n} tiles written to {args.base_dir}")
     elif args.command == "train":
         from .train.loop import TrainerConfig, train_model
@@ -112,7 +122,9 @@ def cli(argv=None) -> int:
             batch_size=args.batch_size, epochs=args.epochs, lr=args.lr,
             regression=args.regression, class_weights=cw,
             self_attention=args.self_attention, existing_model=args.existing_model,
-            lr_finder=args.lr_finder,
+            lr_finder=args.lr_finder, pretrained_weights=args.pretrained_weights,
+            tpu_opt=args.tpu_opt, seed=args.seed,
+            reference_quirks=args.reference_quirks,
         ))
         print(f"Model bundle exported to {out}")
     elif args.command == "predict":
@@ -121,7 +133,8 @@ def cli(argv=None) -> int:
         out = save_predictions(args.model, args.tiles, args.regression, args.merge,
                                args.all_classes, args.specific_class, args.large_file,
                                args.aoi, args.year, args.validation_vision,
-                               batch_size=args.batch_size)
+                               batch_size=args.batch_size,
+                               reference_quirks=args.reference_quirks)
         print(f"Predictions at {out}")
     elif args.command == "serve":
         from .predict import predict_raster

@@ -93,6 +93,7 @@ def predict_raster(
     specific_class: Optional[int] = None,
     class_zero: bool = False,
     devices=None,
+    device_budget_bytes: int = 4 << 30,
 ):
     """Serve a whole GeoTIFF directly: window → batch → blend, no tile files.
 
@@ -101,6 +102,12 @@ def predict_raster(
     in-memory, streams batches through the sharded model, and accumulates
     the overlap-averaged mosaic on device. Returns (array, transform, crs)
     and optionally writes a georeferenced GeoTIFF.
+
+    Scenes stay in their storage dtype on host (a multi-gigapixel AOI never
+    gets a float32 full-scene copy; batches convert per-window). When the
+    device mosaic would exceed ``device_budget_bytes`` of HBM, accumulation
+    falls back to a host-side sum+count buffer — the ``large_file`` use
+    case (reference predict.py:217-219) at arbitrary AOI size.
     """
     from ..ops.blend import DeviceMosaic
     from ..tiling.windows import generate_windows
@@ -108,12 +115,20 @@ def predict_raster(
     predictor = Predictor(predict_model, batch_size=batch_size, devices=devices)
     regression = predictor.regression or regression
     scene = read_raster(raster_path)
-    hwc = np.moveaxis(scene.data.astype(np.float32), 0, 2)
+    hwc = np.moveaxis(scene.data, 0, 2)  # view, native dtype
     h, w = hwc.shape[:2]
     patch = int(patch_size or predictor.manifest.get("patch_size", 400))
     windows = generate_windows(h, w, patch, patch_overlap)
     n_out = int(predictor.manifest.get("n_out", 2))
-    mosaic = DeviceMosaic(h, w, n_out)
+
+    mosaic_bytes = h * w * (n_out + 1) * 4
+    on_device = mosaic_bytes <= device_budget_bytes
+    if on_device:
+        mosaic = DeviceMosaic(h, w, n_out)
+    else:
+        print(f"Mosaic needs {mosaic_bytes/1e9:.1f} GB — accumulating on host.")
+        host_sum = np.zeros((h, w, n_out), np.float32)
+        host_cnt = np.zeros((h, w), np.float32)
 
     bs = predictor.batch_size
     for start in range(0, len(windows), bs):
@@ -124,13 +139,23 @@ def predict_raster(
                 [batch, np.repeat(batch[-1:], bs - len(chunk), axis=0)], axis=0
             )
         probs = predictor.predict_batch_device(batch)[: len(chunk)]
-        mosaic.add_batch(
-            probs,
-            np.asarray([win.y for win in chunk], np.int32),
-            np.asarray([win.x for win in chunk], np.int32),
-        )
+        if on_device:
+            mosaic.add_batch(
+                probs,
+                np.asarray([win.y for win in chunk], np.int32),
+                np.asarray([win.x for win in chunk], np.int32),
+            )
+        else:
+            probs_h = np.asarray(probs)
+            for win, p in zip(chunk, probs_h):
+                rs, cs = win.indices()
+                host_sum[rs, cs] += p
+                host_cnt[rs, cs] += 1.0
 
-    summed, counter = mosaic.finalize()
+    if on_device:
+        summed, counter = mosaic.finalize()
+    else:
+        summed, counter = np.moveaxis(host_sum, 2, 0), host_cnt
     out, nodata = finalize_mosaic(
         summed, counter, regression=regression,
         all_classes=all_classes, specific_class=specific_class,
