@@ -8,10 +8,20 @@ kernel keeps the whole mosaic in HBM and scatter-adds each predicted tile
 batch at its dynamic (row, col) offset, so only the finished mosaic crosses
 to host once.
 
-Three implementations, all equivalent (cross-checked in tests):
-* ``blend_tiles_xla`` — lax.scan of dynamic_slice/add/update. The
-  production default: measured fastest (TPU handles the slice pipeline
-  well; 14.2 ms for 32×512²×4 tiles ≈ 28 GB/s effective, BENCH_NOTES.md).
+Layout note (the big one): TPU stores an HBM array's minor dimension
+padded to 128 lanes, so a persistent (H, W, C≈4) mosaic physically occupies
+~32× its logical bytes and every window update moves that padding. The
+mosaic therefore lives FOLDED — probs as (H, W·C), the overlap counter as a
+separate dense (H, W) — and ``Predictor.predict_batch_device(folded=True)``
+emits tile probabilities dense-born.
+
+Implementations (cross-checked in tests):
+* ``blend_and_count`` — the production engine: one jit dispatch updating
+  probs + counter via a fori_loop of dynamic_slice/add/update (fori_loop
+  measured 2× faster than lax.scan, whose carries forced mosaic copies;
+  scatter_add measured equal).
+* ``blend_tiles_xla`` — single-buffer variant of the same loop (tests,
+  host fallback).
 * ``blend_tiles_blocked`` — Pallas, verified CORRECT on the real chip:
   tiles are pre-split into ≤4 block-aligned quadrant contributions, sorted
   by destination block (host-side — offsets are host data), and the kernel
@@ -234,17 +244,61 @@ def _blocked_run(mosaic, tiles, rows_d, cols_d, order_d, brs_d, bcs_d,
 @partial(jax.jit, donate_argnums=(0,))
 def blend_tiles_xla(mosaic: jax.Array, tiles: jax.Array, rows: jax.Array,
                     cols: jax.Array) -> jax.Array:
-    """Reference XLA implementation (scan of dynamic_update_slice) — used
-    for verification and as fallback on non-TPU backends."""
+    """Production merge engine: scan of dynamic_slice/add/update.
 
-    def body(m, inp):
-        tile, r, c = inp
-        window = jax.lax.dynamic_slice(m, (r, c, 0), tile.shape)
-        return jax.lax.dynamic_update_slice(m, window + tile, (r, c, 0)), None
+    Works on (H, W, C) mosaics with (N, th, tw, C) tiles, or — strongly
+    preferred on TPU for small C — FOLDED (H, W·C) mosaics with
+    (N, th, tw·C) tiles and column offsets pre-scaled by C: TPU pads an
+    HBM array's minor dim to 128 lanes, so an (H, W, 4) mosaic physically
+    moves ~32× the logical bytes per window update (BENCH_NOTES.md)."""
 
-    out, _ = jax.lax.scan(body, mosaic, (tiles, rows.astype(jnp.int32),
-                                         cols.astype(jnp.int32)))
-    return out
+    rows = rows.astype(jnp.int32)
+    cols = cols.astype(jnp.int32)
+
+    def body(i, m):
+        tile = tiles[i]
+        start = (rows[i], cols[i], 0)[: m.ndim]
+        window = jax.lax.dynamic_slice(m, start, tile.shape)
+        return jax.lax.dynamic_update_slice(m, window + tile, start)
+
+    # fori_loop measured 2× faster than lax.scan for this body on TPU
+    # (4.6 vs 9.2 ms for 32×512² folded tiles — the scan carries forced
+    # extra mosaic copies); scatter_add measured ≈ fori_loop
+    return jax.lax.fori_loop(0, tiles.shape[0], body, mosaic)
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("th", "tw"))
+def count_windows(count: jax.Array, rows: jax.Array, cols: jax.Array,
+                  th: int, tw: int) -> jax.Array:
+    """Add 1 to every (th, tw) window at (rows[i], cols[i]) — the overlap
+    counter half of the merge."""
+
+    def body(i, m):
+        window = jax.lax.dynamic_slice(m, (rows[i], cols[i]), (th, tw))
+        return jax.lax.dynamic_update_slice(m, window + 1.0, (rows[i], cols[i]))
+
+    return jax.lax.fori_loop(0, rows.shape[0], body, count)
+
+
+@partial(jax.jit, donate_argnums=(0, 1), static_argnames=("th", "tw"))
+def blend_and_count(buf: jax.Array, count: jax.Array, tiles_folded: jax.Array,
+                    rows: jax.Array, cols: jax.Array, th: int, tw: int):
+    """One dispatch updating both the folded prob mosaic and the overlap
+    counter (two fori_loops in one program — each add_batch is a single
+    host→device round trip, which matters through high-latency links)."""
+    c = tiles_folded.shape[2] // tw
+
+    def body(i, carry):
+        m, cnt = carry
+        r = rows[i]
+        w0 = cols[i]
+        win = jax.lax.dynamic_slice(m, (r, w0 * c), tiles_folded.shape[1:])
+        m = jax.lax.dynamic_update_slice(m, win + tiles_folded[i], (r, w0 * c))
+        cw = jax.lax.dynamic_slice(cnt, (r, w0), (th, tw))
+        cnt = jax.lax.dynamic_update_slice(cnt, cw + 1.0, (r, w0))
+        return m, cnt
+
+    return jax.lax.fori_loop(0, tiles_folded.shape[0], body, (buf, count))
 
 
 class DeviceMosaic:
@@ -274,30 +328,59 @@ class DeviceMosaic:
         if self.buf is None:
             ph = ((self.height + th - 1) // th) * th
             pw = ((self.width + tw - 1) // tw) * tw
-            self.buf = jnp.zeros((ph, pw, self.n_classes + 1), jnp.float32)
+            # probabilities and the overlap counter live in separate FOLDED
+            # buffers — (H, W·C) and (H, W): TPU pads an HBM array's minor
+            # dim to 128 lanes, so an (H, W, C+1) layout would physically
+            # occupy ~25× its logical bytes and every window update (and
+            # even the ones-concat) would move that padding (measured: the
+            # original merge ran ~25× off roofline). Folded reshapes of the
+            # incoming (N, th, tw, C) probs are free bitcasts.
+            self._shape3 = (ph, pw, self.n_classes)
+            self.buf = jnp.zeros((ph, pw * self.n_classes), jnp.float32)
+            self.count = jnp.zeros((ph, pw), jnp.float32)
 
     def add_batch(self, probs: jax.Array, rows: np.ndarray, cols: np.ndarray) -> None:
-        """probs: (N, th, tw, C) device array; rows/cols HOST offsets."""
-        ones = jnp.ones((*probs.shape[:3], 1), jnp.float32)
-        tiles = jnp.concatenate([probs.astype(jnp.float32), ones], axis=-1)
-        th, tw = tiles.shape[1], tiles.shape[2]
+        """probs: (N, th, tw, C) or pre-folded (N, th, tw·C) device array;
+        rows/cols HOST offsets. Prefer pre-folded input
+        (``Predictor.predict_batch_device(..., folded=True)``): an unfolded
+        C≪128 array arrives physically lane-padded and densifying it here
+        costs a full padded read."""
+        if probs.ndim == 3:
+            n, th, twc = probs.shape
+            c = self.n_classes
+            tw = twc // c
+        else:
+            n, th, tw, c = probs.shape
+        if c != self.n_classes:
+            raise ValueError(f"probs have {c} classes, mosaic {self.n_classes}")
         self._ensure_buf(th, tw)
-        if self.use_pallas and self.buf.shape[0] % th == 0 and self.buf.shape[1] % tw == 0:
+        rows_d = jnp.asarray(np.asarray(rows), jnp.int32)
+        if self.use_pallas and self._shape3[0] % th == 0 and self._shape3[1] % tw == 0:
             try:
-                self.buf = blend_tiles_blocked(self.buf, tiles,
-                                               np.asarray(rows), np.asarray(cols))
+                probs4 = probs.reshape(n, th, tw, c).astype(jnp.float32)
+                out = blend_tiles_blocked(
+                    self.buf.reshape(self._shape3), probs4,
+                    np.asarray(rows), np.asarray(cols))
+                self.buf = out.reshape(self._shape3[0], -1)
+                self.count = count_windows(self.count, rows_d,
+                                           jnp.asarray(np.asarray(cols), jnp.int32),
+                                           th, tw)
                 return
             except Exception as e:  # pragma: no cover - platform dependent
                 import warnings
 
                 warnings.warn(f"Pallas blend failed ({e}); falling back to XLA scan")
                 self.use_pallas = False
-        self.buf = blend_tiles_xla(self.buf, tiles, jnp.asarray(rows, jnp.int32),
-                                   jnp.asarray(cols, jnp.int32))
+        self.buf, self.count = blend_and_count(
+            self.buf, self.count,
+            probs.astype(jnp.float32).reshape(n, th, tw * c),  # no-op if pre-folded
+            rows_d, jnp.asarray(np.asarray(cols), jnp.int32), th, tw,
+        )
 
     def finalize(self) -> Tuple[np.ndarray, np.ndarray]:
         """(summed (C,H,W), counter (H,W)) on host."""
-        host = np.asarray(jax.device_get(self.buf))[: self.height, : self.width]
-        summed = np.moveaxis(host[..., : self.n_classes], 2, 0)
-        counter = host[..., self.n_classes]
+        host = np.asarray(jax.device_get(self.buf)).reshape(self._shape3)
+        host = host[: self.height, : self.width]
+        summed = np.moveaxis(host, 2, 0)
+        counter = np.asarray(jax.device_get(self.count))[: self.height, : self.width]
         return summed, counter

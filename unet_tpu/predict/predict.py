@@ -24,6 +24,7 @@ Output modes (identical surface):
 from __future__ import annotations
 
 import time
+from functools import partial
 from pathlib import Path
 from typing import Optional
 
@@ -62,20 +63,30 @@ class Predictor:
         self.batch_size = batch_size
         self._jit_forward = None
 
-    def predict_batch_device(self, images: np.ndarray) -> jax.Array:
-        """(B,H,W,C) raw tile values → device (B,H,W,n_out) probs/values."""
+    def predict_batch_device(self, images: np.ndarray, folded: bool = False) -> jax.Array:
+        """(B,H,W,C) raw tile values → device (B,H,W,n_out) probs/values.
+
+        ``folded=True`` returns (B, H, W·n_out) instead: TPU stores an HBM
+        array's minor dim padded to 128 lanes, so a persistent (B,H,W,C≪128)
+        output physically occupies ~128/C× its logical bytes; folding inside
+        the jit writes the dense layout once (free for downstream
+        DeviceMosaic accumulation)."""
         x = shard_batch(self.mesh, images.astype(np.float32) * self.scale)
         if self._jit_forward is None:
             model = self.model
             regression = self.regression
 
-            @jax.jit
-            def fwd(variables, x):
+            @partial(jax.jit, static_argnames=("folded",))
+            def fwd(variables, x, folded=False):
                 logits = model.apply(variables, x, train=False)
-                return logits[..., 0:1] if regression else jax.nn.softmax(logits, axis=-1)
+                probs = logits[..., 0:1] if regression else jax.nn.softmax(logits, axis=-1)
+                if folded:
+                    b, h, w, c = probs.shape
+                    probs = probs.reshape(b, h, w * c)
+                return probs
 
             self._jit_forward = fwd
-        return self._jit_forward(self.variables, x)
+        return self._jit_forward(self.variables, x, folded=folded)
 
     def predict_batch(self, images: np.ndarray) -> np.ndarray:
         return np.asarray(self.predict_batch_device(images))
@@ -138,7 +149,7 @@ def predict_raster(
             batch = np.concatenate(
                 [batch, np.repeat(batch[-1:], bs - len(chunk), axis=0)], axis=0
             )
-        probs = predictor.predict_batch_device(batch)[: len(chunk)]
+        probs = predictor.predict_batch_device(batch, folded=on_device)[: len(chunk)]
         if on_device:
             mosaic.add_batch(
                 probs,
@@ -271,8 +282,9 @@ def save_predictions(
             batch = np.concatenate([batch, pad], axis=0)
 
         if device_mosaic is not None:
-            # device-side blend: probabilities never leave HBM
-            probs_dev = predictor.predict_batch_device(batch)[: len(chunk)]
+            # device-side blend: probabilities never leave HBM (folded
+            # layout so the C≪128 lane padding is written dense once)
+            probs_dev = predictor.predict_batch_device(batch, folded=True)[: len(chunk)]
             device_mosaic.add_batch(
                 probs_dev,
                 tile_rows[start : start + len(chunk)],
