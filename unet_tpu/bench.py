@@ -35,7 +35,7 @@ import optax
 
 from .data.augment import AugmentConfig, augment_batch
 from .models import build_unet
-from .train.losses import cross_entropy
+from .train.losses import cross_entropy, fold_loss_layout
 from .train.optimizer import one_cycle_adam
 
 A100_BASELINE_TILES_PER_SEC = 100.0
@@ -64,8 +64,10 @@ def build_train_step(model, tx):
     def loss_fn(params, batch_stats, images, masks):
         logits, updates = model.apply(
             {"params": params, "batch_stats": batch_stats}, images,
-            train=True, mutable=["batch_stats"],
+            train=True, fold_logits=True, mutable=["batch_stats"],
         )
+        if logits.shape[1] != masks.shape[1]:  # tpu_opt folded layout
+            logits, masks = fold_loss_layout(logits, masks)
         return cross_entropy(logits, masks), updates["batch_stats"]
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))
@@ -99,7 +101,9 @@ def bench_train(tile: int = 512, batch_size: int = 8, steps: int = 24,
     def loss_fn(params, batch_stats, x, m):
         logits, updates = model.apply(
             {"params": params, "batch_stats": batch_stats}, x,
-            train=True, mutable=["batch_stats"])
+            train=True, fold_logits=True, mutable=["batch_stats"])
+        if logits.shape[1] != m.shape[1]:  # tpu_opt folded layout
+            logits, m = fold_loss_layout(logits, m)
         return cross_entropy(logits, m), updates["batch_stats"]
 
     @partial(jax.jit, donate_argnums=(0, 1, 2))

@@ -166,6 +166,16 @@ def space_to_depth(x: jax.Array, r: int = 2) -> jax.Array:
     return x.reshape(b, h // r, w // r, c * r * r)
 
 
+def depth_to_space(x: jax.Array, r: int = 2) -> jax.Array:
+    """Inverse of ``space_to_depth``: (B,h,w,r²·c) with (dy, dx, c) channel
+    ordering → (B,h·r,w·r,c)."""
+    b, h, w, rrc = x.shape
+    c = rrc // (r * r)
+    x = x.reshape(b, h, w, r, r, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # B, h, dy, w, dx, c
+    return x.reshape(b, h * r, w * r, c)
+
+
 def pixel_shuffle(x: jax.Array, r: int = 2) -> jax.Array:
     """torch nn.PixelShuffle on NHWC: C = c*r*r with (c, dy, dx) ordering."""
     b, h, w, crr = x.shape
@@ -226,6 +236,44 @@ class PixelShuffleICNR(nn.Module):
         if self.blur:
             x = replication_blur(x)
         return x
+
+
+class ConvTransposeUp(nn.Module):
+    """2× upsample as a k2-s2 transposed conv — the TPU formulation of
+    PixelShuffleICNR (tpu_opt paths).
+
+    A 1×1 conv to ``4·nf`` followed by PixelShuffle(2) is bijective with a
+    k2-s2 transposed conv (kernel tap (dy,dx) ↔ shuffle phase), but the
+    transposed conv fuses the spatial interleave into the conv's output
+    write: no materialized 6-D transpose in either direction (measured 5.4
+    vs 9.0 ms f+b at the up_3 shape, BENCH_NOTES.md round 2b). ICNR init ≡
+    all four taps equal, preserved here; ReLU to match PixelShuffleICNR's
+    ordering (ReLU commutes with the shuffle).
+    """
+
+    nf: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        def icnr_taps(key, shape, dtype=jnp.float32):
+            kh, kw, ni, nf = shape
+            k = nn.initializers.he_normal()(key, (1, 1, ni, nf), dtype)
+            return jnp.broadcast_to(k, shape)
+
+        x = nn.ConvTranspose(
+            self.nf,
+            (2, 2),
+            strides=(2, 2),
+            padding="VALID",
+            use_bias=True,
+            kernel_init=icnr_taps,
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="convt",
+        )(x)
+        return nn.relu(x)
 
 
 class SelfAttention(nn.Module):

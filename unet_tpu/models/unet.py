@@ -31,8 +31,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import (ConvLayer, PixelShuffleICNR, ResBlock, SelfAttention,
-                     pixel_shuffle, space_to_depth)
+from .layers import (ConvLayer, ConvTransposeUp, PixelShuffleICNR, ResBlock,
+                     SelfAttention, pixel_shuffle, space_to_depth)
 from .xresnet import ARCHS, XResNetBody
 
 
@@ -43,12 +43,18 @@ class UnetBlock(nn.Module):
     blur: bool
     self_attention: bool = False
     norm: Optional[str] = None
+    convt_up: bool = False  # tpu_opt: k2-s2 transposed conv instead of
+    # 1×1conv+PixelShuffle — same function class and ICNR-equivalent init,
+    # but no materialized 6-D transpose (layers.ConvTransposeUp)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, up_in: jax.Array, skip: jax.Array, train: bool = False) -> jax.Array:
         up_c = up_in.shape[-1]
-        up_out = PixelShuffleICNR(up_c // 2, blur=self.blur, dtype=self.dtype, name="shuf")(up_in)
+        if self.convt_up:
+            up_out = ConvTransposeUp(up_c // 2, dtype=self.dtype, name="shuf")(up_in)
+        else:
+            up_out = PixelShuffleICNR(up_c // 2, blur=self.blur, dtype=self.dtype, name="shuf")(up_in)
         if up_out.shape[1:3] != skip.shape[1:3]:
             # odd encoder sizes (e.g. 25 → 13 → 26): nearest-resize to the
             # skip grid, as fastai's F.interpolate fallback does.
@@ -96,7 +102,14 @@ class DynamicUnet(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 fold_logits: bool = False) -> jax.Array:
+        """``fold_logits=True`` (tpu_opt only) returns the sub-pixel head's
+        pre-shuffle logits (B, H/2, W/2, n_out·4) with (class, dy, dx)
+        channel ordering — the train step computes the loss in this folded
+        layout against a space-to-depth'd mask (losses.fold_targets), which
+        is pixel-for-pixel the same loss while skipping the full-res
+        pixel-shuffle transpose and its backward."""
         orig = x.astype(self.dtype)
         feats, skips = XResNetBody(self.arch, self.c_in, dtype=self.dtype,
                                    remat=self.remat, tpu_opt=self.tpu_opt,
@@ -124,6 +137,7 @@ class DynamicUnet(nn.Module):
                 blur=(not self.tpu_opt) and self.blur and (not_final or self.blur_final),
                 self_attention=self.self_attention and (i == n - 3),
                 norm=self.decoder_norm,
+                convt_up=self.tpu_opt,
                 dtype=self.dtype,
                 name=f"up_{i}",
             )(y, skip, train)
@@ -146,6 +160,8 @@ class DynamicUnet(nn.Module):
                 kernel_init=nn.initializers.he_normal(),
                 dtype=self.dtype, param_dtype=jnp.float32, name="head",
             )(y)
+            if fold_logits:
+                return sub.astype(jnp.float32)
             return pixel_shuffle(sub, 2).astype(jnp.float32)
 
         if y.shape[1:3] != orig.shape[1:3]:

@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvLayer, ResBlock, max_pool_torch, space_to_depth
+from .layers import (ConvLayer, ResBlock, depth_to_space, max_pool_torch,
+                     space_to_depth)
 
 # architecture name -> (expansion, blocks per stage)
 ARCHS: Dict[str, Tuple[int, Tuple[int, ...]]] = {
@@ -49,12 +50,16 @@ class XResNetBody(nn.Module):
     c_in: int = 3
     dtype: Any = jnp.bfloat16
     remat: bool = False  # rematerialize blocks: trade FLOPs for activation HBM
-    # space-to-depth stem (MLPerf ResNet trick): fold 2x2 spatial into
-    # channels and run the stride-2 stem conv as a stride-1 k2 conv at half
-    # resolution — a strict superset of the k3/s2 conv's function class (its
-    # taps land inside the k2xS2D receptive field), with an MXU-friendlier
-    # K dim (4*c_in*4=48 vs 27 taps for RGB) and no strided dgrad in the
-    # backward pass. Changes parameter shapes: opt-in via tpu_opt.
+    # Folded stem (space-to-depth, the MLPerf ResNet trick taken to /4): the
+    # parity stem's three 32/64-channel convs at /2 resolution use ≤25% of
+    # the MXU's 128 lanes and their wgrads contract a huge spatial extent
+    # into a tiny kernel (measured 12 ms of the bs16 step at <25 TF/s).
+    # Instead fold 4×4 spatial into channels and run the whole stem at /4
+    # with 128/128/256 channels (logical 32/32/64 per 2×2 output phase) —
+    # folded k3 covers a strict superset of each parity conv's receptive
+    # field, and every conv is lane-aligned. The skip tensor unfolds back to
+    # 64 channels at /2 via depth_to_space. Changes parameter shapes:
+    # opt-in via tpu_opt; quality-gated in tests/test_pipeline_e2e.py.
     tpu_opt: bool = False
 
     @nn.compact
@@ -66,16 +71,18 @@ class XResNetBody(nn.Module):
         # Stem: ConvLayer(c_in,32,stride2) → (32,32) → (32,64), then maxpool.
         # The reference's "multispectral swap" of body[0][0] (train.py:130-135)
         # is just c_in here.
-        if self.tpu_opt:
-            x = space_to_depth(x, 2)
-            x = ConvLayer(32, 2, 1, pad=((1, 0), (1, 0)), dtype=self.dtype,
-                          name="stem_0")(x, train)
+        if self.tpu_opt and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
+            x = space_to_depth(x, 4)  # (B, H/4, W/4, 16·c_in)
+            x = ConvLayer(128, 3, 1, dtype=self.dtype, name="stem_0")(x, train)
+            x = ConvLayer(128, 3, 1, dtype=self.dtype, name="stem_1")(x, train)
+            x = ConvLayer(256, 3, 1, dtype=self.dtype, name="stem_2")(x, train)
+            stem_out = depth_to_space(x, 2)  # skip at /2, 64 channels
         else:
             x = ConvLayer(32, 3, 2, dtype=self.dtype, name="stem_0")(x, train)
-        x = ConvLayer(32, 3, 1, dtype=self.dtype, name="stem_1")(x, train)
-        x = ConvLayer(64, 3, 1, dtype=self.dtype, name="stem_2")(x, train)
-        stem_out = x  # skip at /2
-        x = max_pool_torch(x, 3, 2)
+            x = ConvLayer(32, 3, 1, dtype=self.dtype, name="stem_1")(x, train)
+            x = ConvLayer(64, 3, 1, dtype=self.dtype, name="stem_2")(x, train)
+            stem_out = x  # skip at /2
+        x = max_pool_torch(stem_out, 3, 2)
 
         stage_outs: List[jax.Array] = []
         for s, (n_blocks, width) in enumerate(zip(layers, widths)):

@@ -47,7 +47,7 @@ from ..models import build_unet
 from ..parallel.mesh import make_mesh, replicate_tree, shard_batch
 from . import checkpoint as ckpt
 from . import metrics as M
-from .losses import build_loss
+from .losses import build_loss, fold_loss_layout
 from .optimizer import constant_lr_adam, one_cycle_adam
 from .schedule import lr_finder_lrs, suggest_lr
 
@@ -238,9 +238,16 @@ class Trainer:
         def forward_loss(params, batch_stats, images, masks, train, sample_mask=None):
             variables = {"params": params, "batch_stats": batch_stats}
             if train:
+                # fold_logits: tpu_opt emits pre-shuffle (B,H/2,W/2,4C)
+                # logits and the loss runs in the folded layout (exact same
+                # value — losses.fold_loss_layout); a non-folding topology
+                # returns full-res logits and the adapter is skipped
                 logits, updates = model.apply(variables, images, train=True,
+                                              fold_logits=True,
                                               mutable=["batch_stats"])
                 new_stats = updates["batch_stats"]
+                if logits.shape[1] != masks.shape[1]:
+                    logits, masks = fold_loss_layout(logits, masks)
             else:
                 logits = model.apply(variables, images, train=False)
                 new_stats = batch_stats

@@ -46,6 +46,27 @@ def _nll_and_weight(logits: Array, targets: Array, weight: Optional[Array]):
     return nll, w
 
 
+def fold_loss_layout(logits: Array, targets: Array) -> tuple:
+    """Lay out folded (pre-pixel-shuffle) logits and full-res targets so any
+    loss above computes the exact full-resolution value.
+
+    ``logits``: (B, H/r, W/r, C·r²) from ``DynamicUnet(..., fold_logits=
+    True)`` with pixel-shuffle channel ordering (class, dy, dx); ``targets``:
+    (B, H, W). Pixel-shuffle is a pixel permutation and every loss here
+    reduces over all pixels, so computing in the folded layout is
+    bit-equivalent while skipping the full-res transpose and its backward.
+    Returns (logits', targets') shaped (B, H/r, W·r, C) and (B, H/r, W·r).
+    """
+    b, h, w, crr = logits.shape
+    r = targets.shape[1] // h
+    c = crr // (r * r)
+    lg = logits.reshape(b, h, w, c, r * r)  # channel index = c·r² + dy·r + dx
+    lg = jnp.moveaxis(lg, -1, 3).reshape(b, h, w * r * r, c)
+    t = targets.reshape(b, h, r, w, r)
+    t = t.transpose(0, 1, 3, 2, 4).reshape(b, h, w * r * r)  # phase = dy·r+dx
+    return lg, t
+
+
 def cross_entropy(
     logits: Array, targets: Array, weight: Optional[Array] = None,
     sample_mask: Optional[Array] = None,
