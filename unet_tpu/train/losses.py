@@ -39,7 +39,10 @@ def _nll_and_weight(logits: Array, targets: Array, weight: Optional[Array]):
     the VPU and fuses into the log_softmax, unlike ``take_along_axis``
     gathers which lower to slow scatter/gather ops.
     """
-    logp = jax.nn.log_softmax(logits, axis=-1)
+    # upcast per-element (fuses into the log_softmax kernel): callers may
+    # pass bf16 logits (the folded tpu_opt train path) without materializing
+    # an f32 copy of a lane-padded tensor
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     onehot = jax.nn.one_hot(targets.astype(jnp.int32), logits.shape[-1], dtype=logp.dtype)
     nll = -jnp.sum(logp * onehot, axis=-1)
     w = None if weight is None else jnp.sum(weight * onehot, axis=-1)
@@ -125,7 +128,7 @@ def dice_loss(
     """fastai DiceLoss (reduction='sum' default): softmax probabilities,
     per-(sample, class) dice over spatial dims, summed."""
     n_c = logits.shape[-1]
-    probs = jax.nn.softmax(logits, axis=-1)
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     onehot = jax.nn.one_hot(targets.astype(jnp.int32), n_c, dtype=jnp.float32)
     # (B, H, W, C) → per-sample/per-class sums over spatial dims
     inter = jnp.sum(probs * onehot, axis=(1, 2))
