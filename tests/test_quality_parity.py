@@ -80,6 +80,37 @@ class TestAerialQuality:
         print(f"\naerial mosaic mIoU={miou:.3f} per-class={detail}")
         assert miou >= MIOU_FLOOR, f"mosaic mIoU {miou:.3f} below floor ({detail})"
 
+    def test_tpu_opt_matches_floors(self, aerial_run):
+        """The flagship tpu_opt topology (folded stem, conv-transpose
+        upsampling, slim 128-lane decoder, folded-logits loss) must clear
+        the SAME quality floors as the parity topology on the realistic
+        fixture — this is the gate that licenses every tpu_opt deviation
+        (models/unet.py, models/xresnet.py)."""
+        root, ip, cls, _ = aerial_run
+        cfg = TrainerConfig(
+            data_path=root / "tiles", model_path=root / "models",
+            description="aerial_tpu", batch_size=4, epochs=14, lr=3e-3,
+            arch="xresnet18", codes=CODES, class_weights="weighted",
+            loss_func="focal", bf16=False, seed=0, transforms=True,
+            tpu_opt=True,
+        )
+        bundle = train_model(cfg)
+        rows = list(csv.DictReader((bundle / "aerial_tpu_history.csv").open()))
+        best = max(float(r["dice_multi"]) for r in rows)
+        assert best >= DICE_FLOOR, f"tpu_opt dice_multi {best} below floor"
+
+        pred_base = root / "pred_tpu"
+        split_raster(str(ip), None, str(pred_base), patch_size=TILE,
+                     patch_overlap=0.2, max_empty=1.0)
+        out = save_predictions(str(bundle), str(pred_base / "img_tiles"),
+                               merge=True, AOI="aerial-tpu", year="2026",
+                               batch_size=4)
+        pred = read_raster(out).data[0]
+        ious, miou = class_iou(pred, cls, len(CODES))
+        detail = {CODES[c]: round(v, 3) for c, v in ious.items()}
+        print(f"\ntpu_opt mosaic mIoU={miou:.3f} per-class={detail}")
+        assert miou >= MIOU_FLOOR, f"tpu_opt mIoU {miou:.3f} below floor ({detail})"
+
     def test_weighted_weights_reflect_imbalance(self, aerial_run):
         root, _, cls, bundle = aerial_run
         import json

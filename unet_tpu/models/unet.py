@@ -136,21 +136,31 @@ class DynamicUnet(nn.Module):
             # HBM traffic at the block's full output res) while ICNR init
             # already suppresses checkerboarding; quality-gated e2e
             #
-            # tpu_opt final-block diet: the fastai walk gives the last
-            # block cat=192 → nf=96 at full working res — 1.5 K-tiles into
-            # conv1 and a 140-channel last_cross cat (2 K-tiles). Narrow the
-            # upsample to up_c//4 (cat = 64+64 = one exact K-tile) and widen
-            # nf so the last_cross concat lands exactly on 128 lanes: every
-            # conv in the /2-res tail then runs full MXU tiles.
-            diet = self.tpu_opt and not not_final
+            # tpu_opt decoder diet: the fastai walk keeps decoder widths
+            # near the encoder's (512/384/256/96) — 1.5–3 K-tiles per conv
+            # and a 140-channel last_cross cat. Size the upsample so each
+            # concat lands exactly on 128-lane MXU tiles (skip 64 → up 64,
+            # else up 128) and keep nf = cat: a classic-U-Net-slim decoder
+            # (384/256/128/…) where every conv runs full tiles. The final
+            # block instead takes 128−4·c_in so the last_cross s2d concat is
+            # exactly one K-tile. Quality-gated (e2e dice floor + aerial
+            # fixture mIoU).
+            if self.tpu_opt:
+                skip_c = skip.shape[-1]
+                rem = skip_c % 128
+                up_nf = min(128 - rem if rem else 128, y.shape[-1] // 2)
+                nf_out = max(128 - 4 * self.c_in, 64) if not not_final \
+                    else skip_c + up_nf
+            else:
+                up_nf = nf_out = None
             y = ub_cls(
                 final_div=not_final,
                 blur=(not self.tpu_opt) and self.blur and (not_final or self.blur_final),
                 self_attention=self.self_attention and (i == n - 3),
                 norm=self.decoder_norm,
                 convt_up=self.tpu_opt,
-                up_nf=(y.shape[-1] // 4) if diet else None,
-                nf_out=max(128 - 4 * self.c_in, 64) if diet else None,
+                up_nf=up_nf,
+                nf_out=nf_out,
                 dtype=self.dtype,
                 name=f"up_{i}",
             )(y, skip, train)
