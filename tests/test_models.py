@@ -97,6 +97,34 @@ class TestDynamicUnet:
         y = m.apply(v, x, train=False)
         assert y.shape == (1, 64, 64, 2)
 
+    def test_self_attention_spectral_norm(self):
+        """fastai wraps the SA projections in torch spectral_norm
+        (layers.SelfAttention docstring): power iteration must converge to
+        the true top singular value, u persists in batch_stats, and the
+        gamma=0 init keeps SA an identity."""
+        from unet_tpu.models.layers import SelfAttention
+
+        sa = SelfAttention(dtype=jnp.float32)
+        x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 8, 8, 32)),
+                        jnp.float32)
+        v = sa.init(jax.random.PRNGKey(0), x, False)
+        assert set(v["batch_stats"]) == {"query_u", "key_u", "value_u"}
+        np.testing.assert_allclose(sa.apply(v, x, False), x, atol=1e-6)
+
+        step = jax.jit(lambda vars_, x: sa.apply(vars_, x, True,
+                                                 mutable=["batch_stats"]))
+        stats = v["batch_stats"]
+        for _ in range(40):
+            _, mut = step({"params": v["params"], "batch_stats": stats}, x)
+            stats = mut["batch_stats"]
+        k = np.asarray(v["params"]["value_kernel"])
+        u = np.asarray(stats["value_u"])
+        kv = k @ u
+        kv /= np.linalg.norm(kv)
+        sigma = kv @ k @ u
+        true = np.linalg.svd(k, compute_uv=False)[0]
+        np.testing.assert_allclose(sigma, true, rtol=1e-4)
+
     def test_train_mode_updates_batch_stats(self):
         m = build_unet("xresnet18", n_out=2, c_in=3, dtype=jnp.float32)
         v, _ = self._init(m, (2, 32, 32, 3))

@@ -636,6 +636,64 @@ def _read_tiled(data, tags, info, compression, predictor, dt, planar) -> np.ndar
 # --- writer ------------------------------------------------------------------
 
 
+def _common_entries(
+    dtype: np.dtype, c: int, h: int, w: int, comp_code: int,
+    use_pred2: bool, use_pred3: bool,
+    transform: Optional[GeoTransform], crs: Optional[str],
+    nodata: Optional[float],
+) -> List[Tuple[int, int, Sequence]]:
+    """The segment-independent IFD entries shared by ``write`` and
+    ``StripStreamWriter`` (format, geo tags, nodata)."""
+    entries: List[Tuple[int, int, Sequence]] = []
+    entries.append((TAG_IMAGE_WIDTH, TYPE_LONG, [w]))
+    entries.append((TAG_IMAGE_LENGTH, TYPE_LONG, [h]))
+    entries.append((TAG_BITS_PER_SAMPLE, TYPE_SHORT, [dtype.itemsize * 8] * c))
+    entries.append((TAG_COMPRESSION, TYPE_SHORT, [comp_code]))
+    entries.append((TAG_PHOTOMETRIC, TYPE_SHORT, [1]))
+    entries.append((TAG_SAMPLES_PER_PIXEL, TYPE_SHORT, [c]))
+    entries.append((TAG_PLANAR_CONFIG, TYPE_SHORT, [1]))
+    if use_pred2 or use_pred3:
+        entries.append((TAG_PREDICTOR, TYPE_SHORT, [2 if use_pred2 else 3]))
+    if c > 1:
+        entries.append((TAG_EXTRA_SAMPLES, TYPE_SHORT, [0] * (c - 1)))
+    entries.append((TAG_SAMPLE_FORMAT, TYPE_SHORT, [_DTYPE_TO_SF[dtype]] * c))
+
+    if transform is not None:
+        ulx, xres, xrot, uly, yrot, yres = [float(v) for v in transform]
+        if xrot == 0.0 and yrot == 0.0:
+            entries.append((TAG_MODEL_PIXEL_SCALE, TYPE_DOUBLE, [abs(xres), abs(yres), 0.0]))
+            entries.append((TAG_MODEL_TIEPOINT, TYPE_DOUBLE, [0.0, 0.0, 0.0, ulx, uly, 0.0]))
+        else:
+            mt = [xres, xrot, 0.0, ulx, yrot, yres, 0.0, uly, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]
+            entries.append((TAG_MODEL_TRANSFORMATION, TYPE_DOUBLE, mt))
+
+    geo_ascii = ""
+    geokeys: List[Tuple[int, int, int, int]] = []
+    epsg = _epsg_code(crs)
+    if crs is not None:
+        geokeys.append((GK_MODEL_TYPE, 0, 1, 1 if (epsg is None or epsg >= 2000) else 2))
+        geokeys.append((GK_RASTER_TYPE, 0, 1, 1))
+        if epsg is not None:
+            key = GK_GEOGRAPHIC_TYPE if epsg < 2000 else GK_PROJECTED_CS_TYPE
+            geokeys.append((key, 0, 1, epsg))
+        else:
+            citation = str(crs) + "|"
+            geokeys.append((GK_CITATION, TAG_GEO_ASCII_PARAMS, len(citation), len(geo_ascii)))
+            geo_ascii += citation
+    if geokeys:
+        gkd = [1, 1, 0, len(geokeys)]
+        for k in sorted(geokeys):
+            gkd.extend(k)
+        entries.append((TAG_GEO_KEY_DIRECTORY, TYPE_SHORT, gkd))
+        if geo_ascii:
+            entries.append((TAG_GEO_ASCII_PARAMS, TYPE_ASCII, [geo_ascii]))
+    if nodata is not None:
+        nd = float(nodata)
+        nd_str = str(int(nd)) if nd == int(nd) else repr(nd)
+        entries.append((TAG_GDAL_NODATA, TYPE_ASCII, [nd_str]))
+    return entries
+
+
 def _epsg_code(crs: Optional[str]) -> Optional[int]:
     if crs is None:
         return None
@@ -768,52 +826,8 @@ def write(
         entries.append((TAG_ROWS_PER_STRIP, TYPE_LONG, [rows_per_strip]))
         off_tag, cnt_tag = TAG_STRIP_OFFSETS, TAG_STRIP_BYTE_COUNTS
 
-    entries.append((TAG_IMAGE_WIDTH, TYPE_LONG, [w]))
-    entries.append((TAG_IMAGE_LENGTH, TYPE_LONG, [h]))
-    entries.append((TAG_BITS_PER_SAMPLE, TYPE_SHORT, [arr.dtype.itemsize * 8] * c))
-    entries.append((TAG_COMPRESSION, TYPE_SHORT, [comp_code]))
-    entries.append((TAG_PHOTOMETRIC, TYPE_SHORT, [1]))
-    entries.append((TAG_SAMPLES_PER_PIXEL, TYPE_SHORT, [c]))
-    entries.append((TAG_PLANAR_CONFIG, TYPE_SHORT, [1]))
-    if use_pred2 or use_pred3:
-        entries.append((TAG_PREDICTOR, TYPE_SHORT, [2 if use_pred2 else 3]))
-    if c > 1:
-        entries.append((TAG_EXTRA_SAMPLES, TYPE_SHORT, [0] * (c - 1)))
-    entries.append((TAG_SAMPLE_FORMAT, TYPE_SHORT, [_DTYPE_TO_SF[arr.dtype]] * c))
-
-    if transform is not None:
-        ulx, xres, xrot, uly, yrot, yres = [float(v) for v in transform]
-        if xrot == 0.0 and yrot == 0.0:
-            entries.append((TAG_MODEL_PIXEL_SCALE, TYPE_DOUBLE, [abs(xres), abs(yres), 0.0]))
-            entries.append((TAG_MODEL_TIEPOINT, TYPE_DOUBLE, [0.0, 0.0, 0.0, ulx, uly, 0.0]))
-        else:
-            mt = [xres, xrot, 0.0, ulx, yrot, yres, 0.0, uly, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0]
-            entries.append((TAG_MODEL_TRANSFORMATION, TYPE_DOUBLE, mt))
-
-    geo_ascii = ""
-    geokeys: List[Tuple[int, int, int, int]] = []
-    epsg = _epsg_code(crs)
-    if crs is not None:
-        geokeys.append((GK_MODEL_TYPE, 0, 1, 1 if (epsg is None or epsg >= 2000) else 2))
-        geokeys.append((GK_RASTER_TYPE, 0, 1, 1))
-        if epsg is not None:
-            key = GK_GEOGRAPHIC_TYPE if epsg < 2000 else GK_PROJECTED_CS_TYPE
-            geokeys.append((key, 0, 1, epsg))
-        else:
-            citation = str(crs) + "|"
-            geokeys.append((GK_CITATION, TAG_GEO_ASCII_PARAMS, len(citation), len(geo_ascii)))
-            geo_ascii += citation
-    if geokeys:
-        gkd = [1, 1, 0, len(geokeys)]
-        for k in sorted(geokeys):
-            gkd.extend(k)
-        entries.append((TAG_GEO_KEY_DIRECTORY, TYPE_SHORT, gkd))
-        if geo_ascii:
-            entries.append((TAG_GEO_ASCII_PARAMS, TYPE_ASCII, [geo_ascii]))
-    if nodata is not None:
-        nd = float(nodata)
-        nd_str = str(int(nd)) if nd == int(nd) else repr(nd)
-        entries.append((TAG_GDAL_NODATA, TYPE_ASCII, [nd_str]))
+    entries.extend(_common_entries(arr.dtype, c, h, w, comp_code,
+                                   use_pred2, use_pred3, transform, crs, nodata))
 
     seg_counts = [len(p) for p in segments]
     offset_type = TYPE_LONG8 if bigtiff else TYPE_LONG
@@ -891,3 +905,235 @@ def write(
 
     with open(path, "wb") as f:
         f.write(bytes(out))
+
+
+# --- windowed access / streaming ---------------------------------------------
+
+
+def read_window(path: str, row0: int, row1: int,
+                col0: int = 0, col1: Optional[int] = None,
+                _cache: Optional[dict] = None) -> Tuple[np.ndarray, TiffInfo]:
+    """Decode only the strips/tiles intersecting ``[row0:row1, col0:col1)``.
+
+    Returns ``((C, row1-row0, col1-col0), info)``. This is the L0 primitive
+    behind streamed whole-scene prediction: a multi-gigapixel orthophoto is
+    consumed band-by-band without a full-scene decode (the reference reads
+    entire scenes into RAM — create_tiles_unet.py:282). Pass a dict as
+    ``_cache`` to reuse the open file handle + parsed tags across calls.
+    """
+    cache = _cache if _cache is not None else {}
+    if "info" not in cache:
+        cache["f"] = open(path, "rb")
+        header = cache["f"].read(16)
+        # _parse_info needs the IFD; simplest robust route: read the whole
+        # header+IFD region lazily — IFDs are small, but may sit at EOF for
+        # streamed files. Read the file in two probes.
+        cache["f"].seek(0)
+        data = cache["f"].read()
+        cache["data"] = data
+        cache["info"] = _parse_info(data)
+    info = cache["info"]
+    data = cache["data"]
+    tags = info.tags
+    bo = tags["_byteorder"]
+    compression = int(tags.get(TAG_COMPRESSION, 1))
+    predictor = int(tags.get(TAG_PREDICTOR, 1))
+    planar = int(tags.get(TAG_PLANAR_CONFIG, 1))
+    h, w, c = info.height, info.width, info.bands
+    dt = info.dtype.newbyteorder(bo)
+    native = info.dtype.newbyteorder("=")
+    row0 = max(0, int(row0)); row1 = min(h, int(row1))
+    col0 = max(0, int(col0)); col1 = w if col1 is None else min(w, int(col1))
+    if row1 <= row0 or col1 <= col0:
+        return np.zeros((c, 0, 0), native), info
+    itemsize = dt.itemsize
+    seg_cache = cache.setdefault("segs", {})
+
+    if TAG_TILE_OFFSETS in tags:
+        offsets = _as_list(tags[TAG_TILE_OFFSETS])
+        counts = _as_list(tags[TAG_TILE_BYTE_COUNTS])
+        tl = int(tags[TAG_TILE_LENGTH]); tw = int(tags[TAG_TILE_WIDTH])
+        tiles_down = (h + tl - 1) // tl
+        tiles_across = (w + tw - 1) // tw
+        per_plane = tiles_down * tiles_across
+        out = np.zeros((row1 - row0, col1 - col0, c), native)
+
+        def fill_plane(plane_idx: int, channels: int, dst_c0: int):
+            for ty in range(row0 // tl, (row1 - 1) // tl + 1):
+                for tx in range(col0 // tw, (col1 - 1) // tw + 1):
+                    i = plane_idx * per_plane + ty * tiles_across + tx
+                    seg = seg_cache.get(i)
+                    if seg is None:
+                        raw = _decompress(data[offsets[i]: offsets[i] + counts[i]],
+                                          compression, tl * tw * channels * itemsize)
+                        seg = _decode_segment(raw, tl, tw, channels, predictor, dt)
+                        seg_cache[i] = seg
+                    ry0, ry1 = max(row0, ty * tl), min(row1, (ty + 1) * tl)
+                    rx0, rx1 = max(col0, tx * tw), min(col1, (tx + 1) * tw)
+                    out[ry0 - row0: ry1 - row0, rx0 - col0: rx1 - col0,
+                        dst_c0: dst_c0 + channels] = \
+                        seg[ry0 - ty * tl: ry1 - ty * tl, rx0 - tx * tw: rx1 - tx * tw]
+
+        if planar == 1:
+            fill_plane(0, c, 0)
+        else:
+            for b in range(c):
+                fill_plane(b, 1, b)
+        return np.moveaxis(out, 2, 0), info
+
+    offsets = _as_list(tags[TAG_STRIP_OFFSETS])
+    counts = _as_list(tags[TAG_STRIP_BYTE_COUNTS])
+    rps = int(tags.get(TAG_ROWS_PER_STRIP, h))
+    strips_per_plane = (h + rps - 1) // rps
+    out = np.zeros((row1 - row0, col1 - col0, c), native)
+
+    def fill_strips(plane_idx: int, channels: int, dst_c0: int):
+        for s in range(row0 // rps, (row1 - 1) // rps + 1):
+            rows = min(rps, h - s * rps)
+            i = plane_idx * strips_per_plane + s
+            seg = seg_cache.get(i)
+            if seg is None:
+                raw = _decompress(data[offsets[i]: offsets[i] + counts[i]],
+                                  compression, rows * w * channels * itemsize)
+                seg = _decode_segment(raw, rows, w, channels, predictor, dt)
+                seg_cache[i] = seg
+            ry0, ry1 = max(row0, s * rps), min(row1, s * rps + rows)
+            out[ry0 - row0: ry1 - row0, :, dst_c0: dst_c0 + channels] = \
+                seg[ry0 - s * rps: ry1 - s * rps, col0:col1]
+
+    if planar == 1:
+        fill_strips(0, c, 0)
+    else:
+        for b in range(c):
+            fill_strips(b, 1, b)
+    return np.moveaxis(out, 2, 0), info
+
+
+class StripStreamWriter:
+    """Write a (Geo)TIFF strip-by-strip without materializing the array.
+
+    Rows arrive top-down via ``append_rows((C, r, W))``; pixel data streams
+    to disk immediately and the IFD is written at ``close()`` (after the
+    data — readers follow the header's IFD pointer, which is patched last).
+    This is the output half of streamed whole-scene prediction: mosaics
+    larger than RAM are finalized and written band-by-band.
+    """
+
+    def __init__(self, path: str, height: int, width: int, bands: int,
+                 dtype, transform: Optional[GeoTransform] = None,
+                 crs: Optional[str] = None, nodata: Optional[float] = None,
+                 compress: Optional[str] = None,
+                 rows_per_strip: Optional[int] = None,
+                 bigtiff: bool = False):
+        self.h, self.w, self.c = int(height), int(width), int(bands)
+        self.dtype = np.dtype(dtype)
+        if self.dtype not in _DTYPE_TO_SF:
+            raise ValueError(f"Unsupported dtype for TIFF write: {self.dtype}")
+        if compress not in _WRITE_COMPRESSORS:
+            raise ValueError(
+                f"Unsupported compression {compress!r}; options: deflate, lzw, packbits")
+        self.comp_code, self._compress_fn = _WRITE_COMPRESSORS[compress]
+        self.transform, self.crs, self.nodata = transform, crs, nodata
+        self.bigtiff = bool(bigtiff)
+        row_bytes = max(1, self.w * self.c * self.dtype.itemsize)
+        self.rps = int(rows_per_strip or max(1, min(self.h, (1 << 20) // row_bytes)))
+        self._f = open(path, "wb")
+        self._bo = "<"
+        if self.bigtiff:
+            self._f.write(struct.pack("<2sHHHQ", b"II", 43, 8, 0, 0))
+        else:
+            self._f.write(struct.pack("<2sHI", b"II", 42, 0))
+        self._offsets: List[int] = []
+        self._counts: List[int] = []
+        self._pending = np.zeros((0, self.w, self.c), self.dtype)
+        self._rows_done = 0
+        self._closed = False
+
+    def append_rows(self, arr: np.ndarray) -> None:
+        arr = np.asarray(arr)
+        if arr.ndim == 2:
+            arr = arr[None]
+        if arr.shape[0] == self.c and arr.shape[2] == self.w:
+            arr = np.moveaxis(arr, 0, 2)  # (rows, W, C)
+        if arr.shape[1] != self.w or arr.shape[2] != self.c:
+            raise ValueError(f"append_rows shape {arr.shape} != (r, {self.w}, {self.c})")
+        self._pending = np.concatenate(
+            [self._pending, arr.astype(self.dtype, copy=False)], axis=0)
+        self._rows_done += arr.shape[0]
+        if self._rows_done > self.h:
+            raise ValueError("more rows appended than declared height")
+        flush_full = self._rows_done >= self.h
+        while self._pending.shape[0] >= self.rps or (
+                flush_full and self._pending.shape[0] > 0):
+            seg = self._pending[: self.rps]
+            self._pending = self._pending[self.rps:]
+            payload = self._compress_fn(np.ascontiguousarray(seg).tobytes())
+            self._offsets.append(self._f.tell())
+            self._counts.append(len(payload))
+            self._f.write(payload)
+
+    def close(self) -> None:
+        if self._closed:
+            return
+        if self._rows_done != self.h:
+            self._f.close()
+            raise ValueError(
+                f"StripStreamWriter closed after {self._rows_done}/{self.h} rows")
+        entries = _common_entries(self.dtype, self.c, self.h, self.w,
+                                  self.comp_code, False, False,
+                                  self.transform, self.crs, self.nodata)
+        entries.append((TAG_ROWS_PER_STRIP, TYPE_LONG, [self.rps]))
+        offset_type = TYPE_LONG8 if self.bigtiff else TYPE_LONG
+        entries.append((TAG_STRIP_BYTE_COUNTS, offset_type, self._counts))
+        entries.append((TAG_STRIP_OFFSETS, offset_type, self._offsets))
+        entries.sort(key=lambda e: e[0])
+        bo = self._bo
+        if self.bigtiff:
+            entry_size, count_fmt, inline, next_fmt = 20, "Q", 8, "Q"
+        else:
+            entry_size, count_fmt, inline, next_fmt = 12, "I", 4, "I"
+        pos = self._f.tell()
+        if pos & 1:
+            self._f.write(b"\x00")
+            pos += 1
+        ifd_off = pos
+        n_tags = len(entries)
+        ifd_size = (8 if self.bigtiff else 2) + n_tags * entry_size + struct.calcsize(next_fmt)
+        overflow_off = ifd_off + ifd_size
+        overflow: List[bytes] = []
+        out = bytearray()
+        out += struct.pack(bo + ("Q" if self.bigtiff else "H"), n_tags)
+        for tag, ftype, values in entries:
+            if ftype == TYPE_ASCII:
+                raw = values[0].encode("latin1") + b"\x00"
+                count = len(raw)
+            else:
+                raw = struct.pack(bo + _TYPE_FMT[ftype] * len(values), *values)
+                count = len(values)
+            if len(raw) <= inline:
+                inline_bytes = raw.ljust(inline, b"\x00")
+            else:
+                p = overflow_off + sum(len(o) + (len(o) & 1) for o in overflow)
+                overflow.append(raw)
+                inline_bytes = struct.pack(bo + ("Q" if self.bigtiff else "I"), p)
+            out += struct.pack(bo + "HH" + count_fmt, tag, ftype, count) + inline_bytes
+        out += struct.pack(bo + next_fmt, 0)
+        for o in overflow:
+            out += o
+            if len(o) & 1:
+                out += b"\x00"
+        self._f.write(bytes(out))
+        self._f.seek(8 if self.bigtiff else 4)
+        self._f.write(struct.pack(bo + ("Q" if self.bigtiff else "I"), ifd_off))
+        self._f.close()
+        self._closed = True
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        if not self._closed:
+            if exc[0] is None:
+                self.close()
+            else:
+                self._f.close()

@@ -282,23 +282,55 @@ class SelfAttention(nn.Module):
     fastai SelfAttention (used mid-decoder when ``self_attention=True``,
     train.py:141-144): f,g 1x1 projections to C/8, h to C,
     out = gamma * (h @ softmax(fᵀg)) + x with gamma starting at 0.
-    Attention matmuls run on the MXU with fp32 accumulation. (Deviation:
-    fastai spectral-norms the projections; omitted as it exists for GAN
-    stability and is a no-op at gamma=0 initialization.)
+    Attention matmuls run on the MXU with fp32 accumulation.
+
+    ``spectral_norm=True`` (the fastai default — its projections are wrapped
+    in ``torch.nn.utils.spectral_norm``): each projection weight is divided
+    by its largest singular value, estimated by one power-iteration step per
+    training forward with the ``u`` vector persisted in ``batch_stats``
+    (torch keeps it in a buffer; eval reuses the last estimate).
     """
 
     dtype: Dtype = jnp.bfloat16
+    spectral_norm: bool = True
+    eps: float = 1e-12
+
+    def _proj(self, tokens: jax.Array, nf: int, name: str, train: bool) -> jax.Array:
+        ni = tokens.shape[-1]
+        kernel = self.param(f"{name}_kernel", nn.initializers.lecun_normal(),
+                            (ni, nf), jnp.float32)
+        if not self.spectral_norm:
+            return tokens @ kernel.astype(self.dtype)
+        seed = int.from_bytes(name.encode()[:4].ljust(4, b"\0"), "big")
+        u_var = self.variable(
+            "batch_stats", f"{name}_u",
+            lambda: jax.random.normal(jax.random.PRNGKey(seed), (nf,), jnp.float32)
+            / jnp.maximum(jnp.linalg.norm(
+                jax.random.normal(jax.random.PRNGKey(seed), (nf,), jnp.float32)), self.eps),
+        )
+        # torch views the conv1d weight as (out, in); Dense kernel is its
+        # transpose, so u lives in the output space (nf,)
+        u = u_var.value
+        if train and not self.is_initializing():
+            v = kernel @ u
+            v = v / jnp.maximum(jnp.linalg.norm(v), self.eps)
+            u = v @ kernel
+            u = u / jnp.maximum(jnp.linalg.norm(u), self.eps)
+            u_var.value = jax.lax.stop_gradient(u)
+            v = jax.lax.stop_gradient(v)
+        else:
+            v = kernel @ u
+            v = v / jnp.maximum(jnp.linalg.norm(v), self.eps)
+        sigma = v @ kernel @ u
+        return tokens @ (kernel / jnp.maximum(sigma, self.eps)).astype(self.dtype)
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         b, h, w, c = x.shape
-        tokens = x.reshape(b, h * w, c)
-        proj = lambda nf, name: nn.Dense(
-            nf, use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name=name
-        )(tokens)
-        f = proj(max(c // 8, 1), "query")
-        g = proj(max(c // 8, 1), "key")
-        v = proj(c, "value")
+        tokens = x.reshape(b, h * w, c).astype(self.dtype)
+        f = self._proj(tokens, max(c // 8, 1), "query", train)
+        g = self._proj(tokens, max(c // 8, 1), "key", train)
+        v = self._proj(tokens, c, "value", train)
         # beta[b, i, j] = softmax_i(f_i · g_j): each output token j attends
         # over source tokens i (torch softmax(dim=1) semantics).
         s = jnp.einsum("bic,bjc->bij", f, g, preferred_element_type=jnp.float32)

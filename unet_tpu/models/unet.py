@@ -75,7 +75,7 @@ class UnetBlock(nn.Module):
         x = ConvLayer(nf, 3, norm=self.norm, dtype=self.dtype, name="conv1")(cat, train)
         x = ConvLayer(nf, 3, norm=self.norm, dtype=self.dtype, name="conv2")(x, train)
         if self.self_attention:
-            x = SelfAttention(dtype=self.dtype, name="sa")(x)
+            x = SelfAttention(dtype=self.dtype, name="sa")(x, train)
         return x
 
 

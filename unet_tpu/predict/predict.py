@@ -92,6 +92,117 @@ class Predictor:
         return np.asarray(self.predict_batch_device(images))
 
 
+def predict_raster_streamed(
+    predict_model: str,
+    raster_path: str,
+    output_path: str,
+    patch_size: Optional[int] = None,
+    patch_overlap: float = 0.2,
+    batch_size: int = 16,
+    regression: bool = False,
+    all_classes: bool = False,
+    specific_class: Optional[int] = None,
+    class_zero: bool = False,
+    devices=None,
+) -> str:
+    """Whole-scene prediction at arbitrary AOI size in O(band) memory.
+
+    Neither the scene nor the mosaic is ever materialized: input rows are
+    decoded on demand (``geo.tiff.read_window`` touches only intersecting
+    strips/tiles), overlap sums accumulate in a rolling row band, and
+    finalized rows stream to the output GeoTIFF via
+    ``geo.tiff.StripStreamWriter`` (data first, IFD at close). This is the
+    multi-gigapixel ``large_file`` workflow the reference approximates with
+    int8 quantization + full-scene RAM buffers (predict.py:217-219,
+    284-289).
+    """
+    from ..geo import tiff as tiff_codec
+    from ..tiling.windows import generate_windows
+
+    predictor = Predictor(predict_model, batch_size=batch_size, devices=devices)
+    regression = predictor.regression or regression
+    info = tiff_codec.read_info(raster_path)
+    h, w = info.height, info.width
+    patch = int(patch_size or predictor.manifest.get("patch_size", 400))
+    n_out = int(predictor.manifest.get("n_out", 2))
+    windows = sorted(generate_windows(h, w, patch, patch_overlap),
+                     key=lambda win: (win.y, win.x))
+
+    if regression or all_classes:
+        out_bands, out_dtype, nodata = (n_out if all_classes else 1), np.float32, -9999.0
+    elif specific_class is not None:
+        out_bands, out_dtype, nodata = 1, np.float32, None
+    else:
+        out_bands, out_dtype, nodata = 1, np.uint8, None
+    writer = tiff_codec.StripStreamWriter(
+        str(output_path), h, w, out_bands, out_dtype,
+        transform=info.transform, crs=info.crs, nodata=nodata)
+
+    acc_base = 0  # first row not yet finalized
+    band_sum = np.zeros((0, w, n_out), np.float32)
+    band_cnt = np.zeros((0, w), np.float32)
+    read_cache: dict = {}
+    bs = predictor.batch_size
+
+    def finalize_rows(upto: int):
+        nonlocal acc_base, band_sum, band_cnt
+        n_rows = upto - acc_base
+        if n_rows <= 0:
+            return
+        chw = np.moveaxis(band_sum[:n_rows], 2, 0)
+        out, _ = finalize_mosaic(chw, band_cnt[:n_rows], regression=regression,
+                                 all_classes=all_classes, specific_class=specific_class)
+        out = np.asarray(out)
+        if out.ndim == 2:
+            out = out[None]
+        if class_zero:
+            out = _apply_class_zero(out, nodata)
+        writer.append_rows(out.astype(out_dtype, copy=False))
+        band_sum = band_sum[n_rows:]
+        band_cnt = band_cnt[n_rows:]
+        acc_base = upto
+
+    i = 0
+    while i < len(windows):
+        y = windows[i].y
+        finalize_rows(y)
+        # grow the accumulator band to cover this window row
+        need = y + patch - (acc_base + band_sum.shape[0])
+        if need > 0:
+            band_sum = np.concatenate(
+                [band_sum, np.zeros((need, w, n_out), np.float32)], axis=0)
+            band_cnt = np.concatenate(
+                [band_cnt, np.zeros((need, w), np.float32)], axis=0)
+        group = [win for win in windows[i:] if win.y == y]
+        rows_chw, _ = tiff_codec.read_window(raster_path, y, y + patch,
+                                             _cache=read_cache)
+        # drop decoded segments fully above the advancing front
+        tags = read_cache["info"].tags
+        rps = int(tags.get(tiff_codec.TAG_ROWS_PER_STRIP, h))
+        for k in [k for k in read_cache.get("segs", {}) if (k + 1) * rps <= y]:
+            read_cache["segs"].pop(k, None)
+        rows_hwc = np.moveaxis(rows_chw, 0, 2)
+        for start in range(0, len(group), bs):
+            chunk = group[start : start + bs]
+            batch = np.stack([rows_hwc[:, win.x : win.x + patch] for win in chunk])
+            if len(chunk) < bs:
+                batch = np.concatenate(
+                    [batch, np.repeat(batch[-1:], bs - len(chunk), axis=0)], axis=0)
+            probs = predictor.predict_batch(batch.astype(np.float32))[: len(chunk)]
+            for win, p in zip(chunk, probs):
+                band_sum[y - acc_base : y - acc_base + patch,
+                         win.x : win.x + patch] += p
+                band_cnt[y - acc_base : y - acc_base + patch,
+                         win.x : win.x + patch] += 1.0
+        i += len(group)
+    finalize_rows(h)
+    writer.close()
+    f = read_cache.get("f")
+    if f is not None:
+        f.close()
+    return str(output_path)
+
+
 def predict_raster(
     predict_model: str,
     raster_path: str,
@@ -105,6 +216,7 @@ def predict_raster(
     class_zero: bool = False,
     devices=None,
     device_budget_bytes: int = 4 << 30,
+    host_budget_bytes: int = 16 << 30,
 ):
     """Serve a whole GeoTIFF directly: window → batch → blend, no tile files.
 
@@ -117,14 +229,40 @@ def predict_raster(
     Scenes stay in their storage dtype on host (a multi-gigapixel AOI never
     gets a float32 full-scene copy; batches convert per-window). When the
     device mosaic would exceed ``device_budget_bytes`` of HBM, accumulation
-    falls back to a host-side sum+count buffer — the ``large_file`` use
-    case (reference predict.py:217-219) at arbitrary AOI size.
+    falls back to a host-side sum+count buffer; when even that would exceed
+    ``host_budget_bytes``, the fully-streamed path takes over
+    (``predict_raster_streamed``: windowed reads, rolling accumulator,
+    strip-streamed output) — the ``large_file`` use case (reference
+    predict.py:217-219) at arbitrary AOI size.
     """
     from ..ops.blend import DeviceMosaic
     from ..tiling.windows import generate_windows
 
     predictor = Predictor(predict_model, batch_size=batch_size, devices=devices)
     regression = predictor.regression or regression
+
+    info0 = None
+    from ..geo import tiff as _tc
+
+    info0 = _tc.read_info(raster_path)
+    n_out0 = int(predictor.manifest.get("n_out", 2))
+    stream_bytes = info0.height * info0.width * (n_out0 + 1) * 4 \
+        + info0.height * info0.width * info0.bands * info0.dtype.itemsize
+    if stream_bytes > host_budget_bytes:
+        if output_path is None:
+            raise ValueError(
+                f"Scene needs {stream_bytes/1e9:.1f} GB in RAM; pass output_path "
+                "to use the streamed whole-scene path")
+        print(f"Scene+mosaic would need {stream_bytes/1e9:.1f} GB — streaming.")
+        predict_raster_streamed(
+            predict_model, raster_path, output_path, patch_size=patch_size,
+            patch_overlap=patch_overlap, batch_size=batch_size,
+            regression=regression, all_classes=all_classes,
+            specific_class=specific_class, class_zero=class_zero, devices=devices)
+        # deliberately NOT read back: the whole point is that the mosaic
+        # exceeds RAM; callers stream it from the written file
+        return None, info0.transform, info0.crs
+
     scene = read_raster(raster_path)
     hwc = np.moveaxis(scene.data, 0, 2)  # view, native dtype
     h, w = hwc.shape[:2]
