@@ -163,3 +163,37 @@ class TestBlockedBlend:
         assert summed.shape == (2, 50, 70) and counter.shape == (50, 70)
         assert counter[0, 0] == 1 and counter[20, 40] == 1
         assert counter[49, 69] == 1 and counter[0, 69] == 0  # (18,38)+32 covers (49,69)
+
+
+class TestShiftBlend:
+    """blend_tiles_shift: the 1.1×-amplification in-kernel-shift design
+    (interpret-verified; blocked on the axon platform's scalar-DMA crash —
+    see the kernel docstring + BENCH_NOTES.md)."""
+
+    def test_matches_reference_random(self):
+        from unet_tpu.ops.blend import blend_tiles_shift
+
+        rng = np.random.default_rng(7)
+        H, W, C, th, tw, n = 264, 320, 4, 64, 64, 9  # 8 spare rows
+        L = W * C + 128  # 128 spare lanes
+        tiles = rng.random((n, th, tw * C)).astype(np.float32)
+        rows = rng.integers(0, 256 - th + 1, n)
+        cols = rng.integers(0, W - tw + 1, n)
+        out = blend_tiles_shift(jnp.zeros((H, L), jnp.float32),
+                                jnp.asarray(tiles), rows, cols * C,
+                                interpret=True)
+        ref = np.zeros((H, L), np.float32)
+        for i in range(n):
+            ref[rows[i]:rows[i] + th, cols[i] * C:(cols[i] + tw) * C] += tiles[i]
+        np.testing.assert_array_equal(np.asarray(out), ref)
+
+    def test_edge_windows_need_spare(self):
+        from unet_tpu.ops.blend import blend_tiles_shift
+
+        tiles = jnp.ones((1, 64, 256), jnp.float32)
+        with pytest.raises(ValueError, match="spare lanes"):
+            blend_tiles_shift(jnp.zeros((72, 256), jnp.float32), tiles,
+                              np.array([0]), np.array([0]), interpret=True)
+        with pytest.raises(ValueError, match="spare rows"):
+            blend_tiles_shift(jnp.zeros((64, 384), jnp.float32), tiles,
+                              np.array([0]), np.array([0]), interpret=True)

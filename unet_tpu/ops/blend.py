@@ -241,6 +241,120 @@ def _blocked_run(mosaic, tiles, rows_d, cols_d, order_d, brs_d, bcs_d,
         return out.reshape(H, W, c)
 
 
+def _shift_kernel_body(rb, twc, rows0_ref, rshift_ref, lanes0_ref, shifts_ref,
+                       tiles_ref, mosaic_ref, out_ref, scratch, sem_in, sem_out):
+    """One grid step = one row-chunk of one tile, shifted in-kernel.
+
+    STATUS (round 2): interpret-verified; the axon platform's remote Mosaic
+    compile helper still CRASHES on any in-body DMA whose slice offset
+    derives from a scalar-prefetch value (bisected again this round — even
+    a roll-free aligned-offset DMA body dies with HTTP 500, while dynamic
+    ``pltpu.roll`` with prefetch-scalar shifts compiles fine in index_map-
+    only kernels). Kept as the reference design for when the platform
+    accepts scalar-derived DMAs; per-step pipeline overhead measured this
+    round (~12-19 µs/step + ~9.4 ms fixed per chained dispatch) means the
+    XLA fori-loop engine stays the right production choice here regardless
+    (BENCH_NOTES.md).
+
+    The tile's window [y, y+th) × [x·C, x·C + tw·C) is generally unaligned:
+    this platform's Mosaic requires DMA slice offsets aligned to the (8,128)
+    tiling. The host therefore passes the aligned enclosing window (rows0
+    ≡ 0 mod 8, lanes0 ≡ 0 mod 128) plus the residual shifts (0..7, 0..127);
+    the kernel DMAs the aligned (rb+8, tw·C+128) mosaic window, rotates the
+    zero-padded tile by the residuals with dynamic rolls (the zero margins
+    make the cyclic rolls zero-fill shifts), accumulates, and stores back.
+    Data amplification vs the tile payload is ≈1.1× at 512²·C4 — vs 4× for
+    the quadrant variant. Grid steps run sequentially ("arbitrary"
+    semantics), so read-modify-write through the ANY-space out_ref is
+    race-free."""
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    r0 = rows0_ref[i] + j * rb
+    ry = rshift_ref[i]
+    L0 = lanes0_ref[i]
+    s = shifts_ref[i]
+    load = pltpu.make_async_copy(
+        out_ref.at[pl.ds(r0, rb + 8), pl.ds(L0, twc + 128)], scratch, sem_in)
+    load.start()
+    load.wait()
+    tile = tiles_ref[0]
+    padded = jnp.pad(tile, ((0, 8), (0, 128)))
+    padded = pltpu.roll(pltpu.roll(padded, s, 1), ry, 0)
+    scratch[:] = scratch[:] + padded
+    store = pltpu.make_async_copy(
+        scratch, out_ref.at[pl.ds(r0, rb + 8), pl.ds(L0, twc + 128)], sem_out)
+    store.start()
+    store.wait()
+
+
+def blend_tiles_shift(mosaic2: jax.Array, tiles_folded: jax.Array,
+                      rows: np.ndarray, lane_cols: np.ndarray,
+                      interpret: bool = False) -> jax.Array:
+    """Pallas scatter-add with the sub-128-lane shift done in-kernel.
+
+    mosaic2: FOLDED (H, L) float32, L a multiple of 128 with ≥128 spare
+    lanes after the last tile position — donated.
+    tiles_folded: (N, th, tw·C) float32.
+    rows: (N,) host ints; lane_cols: (N,) host ints = col·C lane offsets.
+    """
+    n, th, twc = tiles_folded.shape
+    H, L = mosaic2.shape
+    rows = np.asarray(rows, np.int64)
+    lane_cols = np.asarray(lane_cols, np.int64)
+    rows0 = (rows // 8) * 8
+    lanes0 = (lane_cols // 128) * 128
+    if np.any(lanes0 + twc + 128 > L):
+        raise ValueError("mosaic lane dim needs 128 spare lanes for the "
+                         f"shift window (L={L}, max need "
+                         f"{int(np.max(lanes0)) + twc + 128})")
+    if np.any(rows0 + th + 8 > H):
+        raise ValueError("mosaic row dim needs 8 spare rows for the shift "
+                         f"window (H={H}, max need {int(np.max(rows0)) + th + 8})")
+    return _shift_run(mosaic2, tiles_folded,
+                      jnp.asarray(rows0, jnp.int32),
+                      jnp.asarray(rows - rows0, jnp.int32),
+                      jnp.asarray(lanes0, jnp.int32),
+                      jnp.asarray(lane_cols - lanes0, jnp.int32),
+                      interpret=interpret)
+
+
+@partial(jax.jit, donate_argnums=(0,), static_argnames=("interpret",))
+def _shift_run(mosaic2, tiles_folded, rows0_d, rshift_d, lanes0_d, shifts_d,
+               interpret=False):
+    n, th, twc = tiles_folded.shape
+    rb = th
+    while rb > 8 and (rb + 8) * (twc + 128) * 4 > 2 * 1024 * 1024:
+        rb //= 2
+    if th % rb:
+        raise ValueError(f"tile height {th} not chunkable to VMEM")
+    k = th // rb
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n, k),
+        in_specs=[
+            pl.BlockSpec((1, rb, twc), lambda i, j, *_: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((rb + 8, twc + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        partial(_shift_kernel_body, rb, twc),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(mosaic2.shape, mosaic2.dtype),
+        input_output_aliases={5: 0},  # mosaic input (after 4 prefetch + tiles) → out
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            has_side_effects=True),
+        interpret=interpret,
+    )(rows0_d, rshift_d, lanes0_d, shifts_d, tiles_folded, mosaic2)
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def blend_tiles_xla(mosaic: jax.Array, tiles: jax.Array, rows: jax.Array,
                     cols: jax.Array) -> jax.Array:
