@@ -29,6 +29,7 @@ from pathlib import Path
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..data.augment import image_scale
@@ -63,30 +64,40 @@ class Predictor:
         self.batch_size = batch_size
         self._jit_forward = None
 
-    def predict_batch_device(self, images: np.ndarray, folded: bool = False) -> jax.Array:
+    def predict_batch_device(self, images: np.ndarray, folded: bool = False,
+                             quantize_int8: bool = False) -> jax.Array:
         """(B,H,W,C) raw tile values → device (B,H,W,n_out) probs/values.
 
         ``folded=True`` returns (B, H, W·n_out) instead: TPU stores an HBM
         array's minor dim padded to 128 lanes, so a persistent (B,H,W,C≪128)
         output physically occupies ~128/C× its logical bytes; folding inside
         the jit writes the dense layout once (free for downstream
-        DeviceMosaic accumulation)."""
+        DeviceMosaic accumulation).
+
+        ``quantize_int8=True`` applies the reference's ``large_file`` probs
+        stretch (×31, round-half-even — predict.py:245-249 ``np.around``)
+        ON DEVICE and returns int8: softmax probs are provably ≤ 1, the
+        rounding matches ``np.around`` bit-for-bit, and the device→host
+        fetch shrinks 4×."""
         x = shard_batch(self.mesh, images.astype(np.float32) * self.scale)
         if self._jit_forward is None:
             model = self.model
             regression = self.regression
 
-            @partial(jax.jit, static_argnames=("folded",))
-            def fwd(variables, x, folded=False):
+            @partial(jax.jit, static_argnames=("folded", "quantize_int8"))
+            def fwd(variables, x, folded=False, quantize_int8=False):
                 logits = model.apply(variables, x, train=False)
                 probs = logits[..., 0:1] if regression else jax.nn.softmax(logits, axis=-1)
+                if quantize_int8:
+                    probs = jnp.rint(probs * ((128 / 4) - 1)).astype(jnp.int8)
                 if folded:
                     b, h, w, c = probs.shape
                     probs = probs.reshape(b, h, w * c)
                 return probs
 
             self._jit_forward = fwd
-        return self._jit_forward(self.variables, x, folded=folded)
+        return self._jit_forward(self.variables, x, folded=folded,
+                                 quantize_int8=quantize_int8)
 
     def predict_batch(self, images: np.ndarray) -> np.ndarray:
         return np.asarray(self.predict_batch_device(images))
@@ -429,7 +440,16 @@ def save_predictions(
                 tile_cols[start : start + len(chunk)],
             )
             continue
-        probs = predictor.predict_batch(batch)[: len(chunk)]  # (b,H,W,C)
+        if large_file and not regression and not merge and (all_classes or sc_selected):
+            # large_file int8 stretch ON DEVICE (×31 + round-half-even ==
+            # np.around, predict.py:245-249; softmax probs are ≤ 1 so the
+            # reference's max()<=1 gate is always met) — the device→host
+            # fetch shrinks 4×. The host re-stretch below self-disables on
+            # int8 input (max 31 > 1).
+            probs = np.asarray(predictor.predict_batch_device(
+                batch, quantize_int8=True))[: len(chunk)]
+        else:
+            probs = predictor.predict_batch(batch)[: len(chunk)]  # (b,H,W,C)
 
         for tile_path, raster, p in zip(chunk, rasters, probs):
             class_stack = np.moveaxis(p, 2, 0)  # (C,H,W)
