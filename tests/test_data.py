@@ -252,3 +252,28 @@ class TestLoaderDeterminism:
         for (ia, ma, _), (ib, mb, _) in zip(a, b):
             np.testing.assert_array_equal(ia, ib)
             np.testing.assert_array_equal(ma, mb)
+
+
+class TestEinsumFlips:
+    """Large batches route flips through MXU permutation matmuls
+    (augment._flip_images); the result must be BIT-exact vs lax.rev for
+    floats and lossless for integer masks."""
+
+    def test_float_and_int_exact(self):
+        from unet_tpu.data.augment import _flip_images
+
+        rng = np.random.default_rng(0)
+        img = jnp.asarray(rng.standard_normal((3, 64, 512, 4)).astype(np.float32))
+        msk = jnp.asarray(rng.integers(0, 7, (3, 64, 512)).astype(np.int32))
+        flags = jnp.asarray([True, False, True])
+        assert img.size >= (1 << 16)  # einsum path engaged
+        for axis in (1, 2):
+            got = _flip_images(img, flags, axis)
+            want = jnp.where(flags[:, None, None, None],
+                             jnp.flip(img, axis=axis), img)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+            got_m = _flip_images(msk, flags, axis)
+            want_m = jnp.where(flags[:, None, None],
+                               jnp.flip(msk, axis=axis), msk)
+            assert got_m.dtype == msk.dtype
+            np.testing.assert_array_equal(np.asarray(got_m), np.asarray(want_m))

@@ -224,3 +224,65 @@ class TestOptimizer:
         upd, st = tx.update({"b": jnp.zeros(4)}, st, params)
         # zero grad + no wd on 1-D params → no movement
         np.testing.assert_allclose(np.asarray(upd["b"]), 0.0, atol=1e-8)
+
+
+class TestFoldedLossLayout:
+    """losses.fold_loss_layout: computing any loss on pre-pixel-shuffle
+    (folded) logits must equal the full-resolution value exactly — pixel
+    shuffle is a permutation and every loss reduces over all pixels."""
+
+    def _pair(self, seed=0, b=2, h=8, w=8, c=3):
+        from unet_tpu.models.layers import pixel_shuffle
+
+        rng = np.random.default_rng(seed)
+        # start from the folded layout and derive full-res via the model's
+        # own pixel_shuffle — the exact relationship the train path relies on
+        folded = rng.standard_normal((b, h // 2, w // 2, 4 * c)).astype(np.float32)
+        full = pixel_shuffle(jnp.asarray(folded), 2)
+        targets = rng.integers(0, c, (b, h, w)).astype(np.int32)
+        return full, jnp.asarray(folded), jnp.asarray(targets)
+
+    def test_cross_entropy_exact(self):
+        from unet_tpu.train.losses import cross_entropy, fold_loss_layout
+
+        full, folded, t = self._pair()
+        lg, tf = fold_loss_layout(folded, t)
+        np.testing.assert_allclose(float(cross_entropy(full, t)),
+                                   float(cross_entropy(lg, tf)), rtol=1e-6)
+        w = jnp.asarray([0.2, 0.5, 0.3])
+        np.testing.assert_allclose(float(cross_entropy(full, t, w)),
+                                   float(cross_entropy(lg, tf, w)), rtol=1e-6)
+
+    def test_focal_and_dice_exact(self):
+        from unet_tpu.train.losses import dice_loss, focal_loss, fold_loss_layout
+
+        full, folded, t = self._pair(seed=3)
+        lg, tf = fold_loss_layout(folded, t)
+        np.testing.assert_allclose(float(focal_loss(full, t)),
+                                   float(focal_loss(lg, tf)), rtol=1e-6)
+        np.testing.assert_allclose(float(dice_loss(full, t)),
+                                   float(dice_loss(lg, tf)), rtol=1e-6)
+
+    def test_model_fold_matches_shuffle(self):
+        """DynamicUnet(fold_logits=True) output folds to exactly the
+        pixel-shuffled full-res logits."""
+        from functools import partial
+
+        import jax
+
+        from unet_tpu.models import build_unet
+        from unet_tpu.train.losses import cross_entropy, fold_loss_layout
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.integers(0, 255, (1, 32, 32, 3)).astype(np.float32))
+        t = jnp.asarray(rng.integers(0, 2, (1, 32, 32)).astype(np.int32))
+        m = build_unet("xresnet18", n_out=2, c_in=3, tpu_opt=True,
+                       dtype=jnp.float32)
+        v = jax.jit(partial(m.init, train=False))(jax.random.PRNGKey(0), x)
+        full, _ = m.apply(v, x, train=True, mutable=["batch_stats"])
+        folded, _ = m.apply(v, x, train=True, fold_logits=True,
+                            mutable=["batch_stats"])
+        assert folded.shape == (1, 16, 16, 8)
+        lg, tf = fold_loss_layout(folded, t)
+        np.testing.assert_allclose(float(cross_entropy(full, t)),
+                                   float(cross_entropy(lg, tf)), rtol=1e-6)
