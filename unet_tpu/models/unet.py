@@ -178,6 +178,10 @@ class DynamicUnet(nn.Module):
                 y = ResBlockNoNorm(ni_rb // 2 if self.bottle else ni_rb,
                                    norm=self.decoder_norm, dtype=self.dtype,
                                    name="last_cross")(y, train)
+            # (folding the head one level deeper — s2d(2) + 1×1 to n_out·16
+            # at /4 — was tried for the lane-padding win but measured
+            # +4.4 ms: the 128-ch s2d transpose pair and the 4× head FLOPs
+            # outweigh it. Keep the /2 sub-pixel head.)
             sub = nn.Conv(
                 self.n_out * 4, (1, 1), use_bias=True,
                 kernel_init=nn.initializers.he_normal(),
