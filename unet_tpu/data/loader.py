@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import concurrent.futures as cf
 import os
+import threading
 from collections import deque
 from pathlib import Path
 from typing import Iterator, List, Optional, Sequence, Tuple
@@ -55,6 +56,7 @@ class TileLoader:
         self.prefetch = prefetch
         self.with_masks = with_masks
         self._pool = cf.ThreadPoolExecutor(max_workers=n_threads)
+        self._decide_lock = threading.Lock()
         self._epoch = 0
         # native fast path: C++ decode of the whole batch directly into the
         # NHWC buffer in the tiles' own dtype (the GDAL-equivalent native
@@ -98,11 +100,17 @@ class TileLoader:
         return np.moveaxis(img, 0, 2), msk  # CHW → HWC
 
     def _make_batch(self, paths: List[Path]) -> Batch:
-        if self._native is not None and not self._native_decided:
-            self._choose_path(paths)
-        if self._native is not None:
+        if not self._native_decided:
+            # prefetch futures run this concurrently; decide exactly once
+            # (double-checked under the lock) so no worker observes
+            # self._native flipping to None mid-decode
+            with self._decide_lock:
+                if not self._native_decided:
+                    self._choose_path(paths)
+        native = self._native  # local snapshot: fallback may null the attr
+        if native is not None:
             try:
-                return self._make_batch_native(paths)
+                return self._make_batch_native(native, paths)
             except RuntimeError:
                 self._native = None  # permanent fallback to Python codec
         return self._make_batch_python(paths)
@@ -118,36 +126,40 @@ class TileLoader:
 
     def _choose_path(self, paths: List[Path]) -> None:
         """Decode the first batch both ways once; keep the faster decoder
-        (VERDICT r1: never prefer a path that measures slower)."""
+        (VERDICT r1: never prefer a path that measures slower). Runs under
+        ``_decide_lock``; sets ``_native_decided`` last so concurrent
+        workers either wait here or see the final decision."""
         import time
 
-        self._native_decided = True
+        native = self._native
         try:
-            t0 = time.perf_counter()
-            self._make_batch_native(paths)
-            t_native = time.perf_counter() - t0
+            if native is not None:
+                t0 = time.perf_counter()
+                self._make_batch_native(native, paths)
+                t_native = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                self._make_batch_python(paths)
+                t_python = time.perf_counter() - t0
+                if t_python < t_native:
+                    self._native = None
         except RuntimeError:
             self._native = None
-            return
-        t0 = time.perf_counter()
-        self._make_batch_python(paths)
-        t_python = time.perf_counter() - t0
-        if t_python < t_native:
-            self._native = None
+        finally:
+            self._native_decided = True
 
-    def _make_batch_native(self, paths: List[Path]) -> Batch:
+    def _make_batch_native(self, native, paths: List[Path]) -> Batch:
         h, w, c = self._tile_shape
         n_valid = len(paths)
         full = list(paths) + [paths[-1]] * (self.batch_size - n_valid)
-        images = self._native.decode_batch_raw(full, h, w, c, self._tile_dtype,
-                                               self.n_threads)
+        images = native.decode_batch_raw(full, h, w, c, self._tile_dtype,
+                                         self.n_threads)
         masks = None
         if self.with_masks:
             mask_paths = [get_mask_path(p) for p in full]
             if self.dataset.regression:
-                masks = self._native.decode_batch(mask_paths, h, w, 1, self.n_threads)[..., 0]
+                masks = native.decode_batch(mask_paths, h, w, 1, self.n_threads)[..., 0]
             else:
-                masks = self._native.decode_masks(mask_paths, h, w, self.n_threads)
+                masks = native.decode_masks(mask_paths, h, w, self.n_threads)
         return images, masks, n_valid
 
     def __iter__(self) -> Iterator[Batch]:
