@@ -80,6 +80,10 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--regression", action="store_true")
     sv.add_argument("--all-classes", action="store_true")
     sv.add_argument("--specific-class", type=int, default=None)
+    sv.add_argument("--stream", action="store_true",
+                    help="force the O(band)-memory streamed path (windowed "
+                         "reads, strip-streamed output); automatic for "
+                         "scenes whose mosaic would exceed host RAM")
 
     bench = sub.add_parser("bench", help="run the training/inference benchmark")
     bench.add_argument("--tile", type=int, default=512)
@@ -137,16 +141,31 @@ def cli(argv=None) -> int:
                                reference_quirks=args.reference_quirks)
         print(f"Predictions at {out}")
     elif args.command == "serve":
-        from .predict import predict_raster
+        if args.stream:
+            from .predict import predict_raster_streamed
 
-        arr, _, _ = predict_raster(args.model, args.raster, args.output,
-                                   patch_size=args.patch_size,
-                                   patch_overlap=args.patch_overlap,
-                                   batch_size=args.batch_size,
-                                   regression=args.regression,
-                                   all_classes=args.all_classes,
-                                   specific_class=args.specific_class)
-        print(f"Mosaic {arr.shape} written to {args.output}")
+            predict_raster_streamed(args.model, args.raster, args.output,
+                                    patch_size=args.patch_size,
+                                    patch_overlap=args.patch_overlap,
+                                    batch_size=args.batch_size,
+                                    regression=args.regression,
+                                    all_classes=args.all_classes,
+                                    specific_class=args.specific_class)
+            print(f"Mosaic streamed to {args.output}")
+        else:
+            from .predict import predict_raster
+
+            arr, _, _ = predict_raster(args.model, args.raster, args.output,
+                                       patch_size=args.patch_size,
+                                       patch_overlap=args.patch_overlap,
+                                       batch_size=args.batch_size,
+                                       regression=args.regression,
+                                       all_classes=args.all_classes,
+                                       specific_class=args.specific_class)
+            if arr is None:
+                print(f"Mosaic streamed to {args.output}")
+            else:
+                print(f"Mosaic {arr.shape} written to {args.output}")
     elif args.command == "bench":
         from .bench import run_benchmark
 
