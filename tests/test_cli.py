@@ -72,3 +72,14 @@ class TestCli:
         p = build_parser()
         for cmd in ("run", "tile", "train", "predict", "bench"):
             assert cmd in p._subparsers._group_actions[0].choices
+
+
+def test_serve_multi_scene_parser():
+    """serve accepts several rasters; one raster keeps the classic form."""
+    from unet_tpu.__main__ import build_parser
+
+    ap = build_parser()
+    a = ap.parse_args(["serve", "m", "a.tif", "b.tif", "outdir"])
+    assert a.raster == ["a.tif", "b.tif"] and a.output == "outdir"
+    b = ap.parse_args(["serve", "m", "a.tif", "out.tif", "--stream"])
+    assert b.raster == ["a.tif"] and b.output == "out.tif" and b.stream

@@ -70,9 +70,11 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--batch-size", type=int, default=16)
     pr.add_argument("--reference-quirks", action="store_true")
 
-    sv = sub.add_parser("serve", help="predict a whole GeoTIFF directly (no tile files)")
+    sv = sub.add_parser("serve", help="predict whole GeoTIFFs directly (no tile files)")
     sv.add_argument("model")
-    sv.add_argument("raster")
+    sv.add_argument("raster", nargs="+",
+                    help="one or more scene GeoTIFFs; with several, OUTPUT "
+                         "is a directory and the model stays resident")
     sv.add_argument("output")
     sv.add_argument("--patch-size", type=int, default=None)
     sv.add_argument("--patch-overlap", type=float, default=0.2)
@@ -141,10 +143,21 @@ def cli(argv=None) -> int:
                                reference_quirks=args.reference_quirks)
         print(f"Predictions at {out}")
     elif args.command == "serve":
-        if args.stream:
+        if len(args.raster) > 1:
+            from .predict import serve_scenes
+
+            outs = serve_scenes(args.model, args.raster, args.output,
+                                patch_size=args.patch_size,
+                                patch_overlap=args.patch_overlap,
+                                batch_size=args.batch_size,
+                                regression=args.regression,
+                                all_classes=args.all_classes,
+                                specific_class=args.specific_class)
+            print(f"{len(outs)} mosaics in {args.output}")
+        elif args.stream:
             from .predict import predict_raster_streamed
 
-            predict_raster_streamed(args.model, args.raster, args.output,
+            predict_raster_streamed(args.model, args.raster[0], args.output,
                                     patch_size=args.patch_size,
                                     patch_overlap=args.patch_overlap,
                                     batch_size=args.batch_size,
@@ -155,7 +168,7 @@ def cli(argv=None) -> int:
         else:
             from .predict import predict_raster
 
-            arr, _, _ = predict_raster(args.model, args.raster, args.output,
+            arr, _, _ = predict_raster(args.model, args.raster[0], args.output,
                                        patch_size=args.patch_size,
                                        patch_overlap=args.patch_overlap,
                                        batch_size=args.batch_size,

@@ -1,4 +1,4 @@
 from .predict import (Predictor, predict_raster, predict_raster_streamed,  # noqa: F401
-                      save_predictions)
+                      save_predictions, serve_scenes)
 from .merge import MosaicAccumulator, TileInfo, tile_extent_info  # noqa: F401
 from .figures import plot_valid_predict  # noqa: F401

@@ -115,6 +115,7 @@ def predict_raster_streamed(
     specific_class: Optional[int] = None,
     class_zero: bool = False,
     devices=None,
+    predictor: Optional["Predictor"] = None,
 ) -> str:
     """Whole-scene prediction at arbitrary AOI size in O(band) memory.
 
@@ -130,7 +131,8 @@ def predict_raster_streamed(
     from ..geo import tiff as tiff_codec
     from ..tiling.windows import generate_windows
 
-    predictor = Predictor(predict_model, batch_size=batch_size, devices=devices)
+    if predictor is None:
+        predictor = Predictor(predict_model, batch_size=batch_size, devices=devices)
     regression = predictor.regression or regression
     info = tiff_codec.read_info(raster_path)
     h, w = info.height, info.width
@@ -228,6 +230,7 @@ def predict_raster(
     devices=None,
     device_budget_bytes: int = 4 << 30,
     host_budget_bytes: int = 16 << 30,
+    predictor: Optional["Predictor"] = None,
 ):
     """Serve a whole GeoTIFF directly: window → batch → blend, no tile files.
 
@@ -249,7 +252,8 @@ def predict_raster(
     from ..ops.blend import DeviceMosaic
     from ..tiling.windows import generate_windows
 
-    predictor = Predictor(predict_model, batch_size=batch_size, devices=devices)
+    if predictor is None:
+        predictor = Predictor(predict_model, batch_size=batch_size, devices=devices)
     regression = predictor.regression or regression
 
     info0 = None
@@ -269,7 +273,8 @@ def predict_raster(
             predict_model, raster_path, output_path, patch_size=patch_size,
             patch_overlap=patch_overlap, batch_size=batch_size,
             regression=regression, all_classes=all_classes,
-            specific_class=specific_class, class_zero=class_zero, devices=devices)
+            specific_class=specific_class, class_zero=class_zero,
+            devices=devices, predictor=predictor)
         # deliberately NOT read back: the whole point is that the mosaic
         # exceeds RAM; callers stream it from the written file
         return None, info0.transform, info0.crs
@@ -326,6 +331,36 @@ def predict_raster(
         write_raster(output_path, np.asarray(out), transform=scene.transform,
                      crs=scene.crs, nodata=nodata)
     return np.asarray(out), scene.transform, scene.crs
+
+
+def serve_scenes(
+    predict_model: str,
+    raster_paths,
+    output_dir: str,
+    suffix: str = "_prediction.tif",
+    **kwargs,
+) -> list:
+    """Serve a batch of whole scenes through ONE resident model.
+
+    The jitted forward (and its compilation) is shared across AOIs — the
+    production multi-scene deployment shape; the reference would reload the
+    pickled learner per run (predict.py:161). Each scene goes through
+    ``predict_raster`` (with its automatic streaming fallback); outputs are
+    ``output_dir/<stem><suffix>``. Returns the output paths.
+    """
+    out_dir = Path(output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    predictor = Predictor(predict_model,
+                          batch_size=kwargs.get("batch_size", 16),
+                          devices=kwargs.get("devices"))
+    outs = []
+    for rp in raster_paths:
+        out = out_dir / (Path(rp).stem + suffix)
+        predict_raster(predict_model, str(rp), str(out),
+                       predictor=predictor, **kwargs)
+        outs.append(out)
+        print(f"Served {rp} -> {out}")
+    return outs
 
 
 def save_predictions(
