@@ -86,8 +86,29 @@ class Predictor:
 
             @partial(jax.jit, static_argnames=("folded", "quantize_int8"))
             def fwd(variables, x, folded=False, quantize_int8=False):
-                logits = model.apply(variables, x, train=False)
-                probs = logits[..., 0:1] if regression else jax.nn.softmax(logits, axis=-1)
+                from ..models.layers import pixel_shuffle
+
+                logits = model.apply(variables, x, train=False, fold_logits=True)
+                if logits.shape[1] != x.shape[1]:
+                    # tpu_opt sub-pixel head: softmax in the FOLDED
+                    # (B,H/2,W/2,C·4) layout — per pixel it reduces over the
+                    # same C values as the full-res softmax (bit-identical);
+                    # one pixel-shuffle of finished probabilities at the
+                    # end. (Measured throughput-neutral vs shuffling first —
+                    # XLA fuses the padded intermediates either way — but
+                    # this shape feeds the folded/device-merge outputs
+                    # without relying on that fusion.)
+                    b, h2, w2, crr = logits.shape
+                    if regression:
+                        probs = pixel_shuffle(logits, 2)[..., 0:1]
+                    else:
+                        c = crr // 4
+                        ps = jax.nn.softmax(
+                            logits.reshape(b, h2, w2, c, 4), axis=3)
+                        probs = pixel_shuffle(ps.reshape(b, h2, w2, crr), 2)
+                else:
+                    probs = logits[..., 0:1] if regression \
+                        else jax.nn.softmax(logits, axis=-1)
                 if quantize_int8:
                     probs = jnp.rint(probs * ((128 / 4) - 1)).astype(jnp.int8)
                 if folded:
