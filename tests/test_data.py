@@ -277,3 +277,21 @@ class TestEinsumFlips:
                                jnp.flip(msk, axis=axis), msk)
             assert got_m.dtype == msk.dtype
             np.testing.assert_array_equal(np.asarray(got_m), np.asarray(want_m))
+
+
+class TestLoaderRace:
+    def test_concurrent_loaders_decide_once(self, dataset_dir):
+        """Regression: prefetch futures race the one-time native-vs-python
+        decoder decision; a worker must never observe the native handle
+        flipping to None mid-decode (loader.py _decide_lock)."""
+        ds = TileDataset(dataset_dir)
+        for _ in range(10):
+            a = TileLoader(ds, ds.train_files, batch_size=4, shuffle=True,
+                           drop_last=True, seed=5)
+            b = TileLoader(ds, ds.train_files, batch_size=4, shuffle=True,
+                           drop_last=True, seed=5)
+            for (ia, ma, _), (ib, mb, _) in zip(a, b):
+                np.testing.assert_array_equal(ia, ib)
+                np.testing.assert_array_equal(ma, mb)
+            a.close()
+            b.close()
