@@ -85,7 +85,7 @@ def build_train_step(model, tx):
 
 def bench_train(tile: int = 512, batch_size: int = 8, steps: int = 24,
                 arch: str = "xresnet34", n_classes: int = 3, c_in: int = 3,
-                tpu_opt: bool = True, scan_k: int = 4) -> dict:
+                tpu_opt: bool = True, scan_k: int = 8) -> dict:
     model = build_unet(arch, n_out=n_classes, c_in=c_in, dtype=jnp.bfloat16,
                        tpu_opt=tpu_opt)
     rng = np.random.default_rng(0)
