@@ -55,6 +55,8 @@ def build_parser() -> argparse.ArgumentParser:
                     help="TPU-optimized topology (s2d stem, half-res tail)")
     tr.add_argument("--seed", type=int, default=0)
     tr.add_argument("--reference-quirks", action="store_true")
+    tr.add_argument("--profile-dir", default=None,
+                    help="write a jax.profiler trace of the first epoch here")
 
     pr = sub.add_parser("predict", help="predict tiles with a trained bundle")
     pr.add_argument("model")
@@ -131,6 +133,7 @@ def cli(argv=None) -> int:
             lr_finder=args.lr_finder, pretrained_weights=args.pretrained_weights,
             tpu_opt=args.tpu_opt, seed=args.seed,
             reference_quirks=args.reference_quirks,
+            profile_dir=args.profile_dir,
         ))
         print(f"Model bundle exported to {out}")
     elif args.command == "predict":
