@@ -277,7 +277,6 @@ def predict_raster(
         predictor = Predictor(predict_model, batch_size=batch_size, devices=devices)
     regression = predictor.regression or regression
 
-    info0 = None
     from ..geo import tiff as _tc
 
     info0 = _tc.read_info(raster_path)
