@@ -139,3 +139,22 @@ class TestTrainer:
     def test_batch_size_exceeding_tiles_raises(self, fixture_dir, tmp_path):
         with pytest.raises(ValueError, match="batch_size"):
             Trainer(small_cfg(fixture_dir, tmp_path, batch_size=64))
+
+
+def test_tpu_opt_topology_version_guard(tmp_path):
+    """A tpu_opt bundle from an older topology version must fail with a
+    clear message, not a weight-shape error (train/checkpoint.py)."""
+    import json
+
+    import pytest
+
+    from unet_tpu.train import checkpoint as ckpt
+
+    d = tmp_path / "old"
+    d.mkdir()
+    manifest = {"ARCHITECTURE": "xresnet18", "n_out": 2, "number_of_bands": 3,
+                "patch_size": 64, "tpu_opt": True, "tpu_opt_topology": 1}
+    (d / "old.json").write_text(json.dumps(manifest))
+    (d / "old.msgpack").write_bytes(b"")
+    with pytest.raises(ValueError, match="topology v1"):
+        ckpt.load_bundle(d)

@@ -36,6 +36,13 @@ from .layers import (ConvLayer, ConvTransposeUp, PixelShuffleICNR, ResBlock,
 from .xresnet import ARCHS, XResNetBody
 
 
+# bumped whenever a tpu_opt structural change alters parameter shapes
+# (folded stem / conv-transpose upsample / slim decoder = version 2);
+# bundles record it so a topology mismatch fails with a clear message
+# instead of a weight-shape error (train/checkpoint.py)
+TPU_OPT_TOPOLOGY_VERSION = 2
+
+
 class UnetBlock(nn.Module):
     """One decoder stage: upsample, fuse skip, refine."""
 

@@ -98,6 +98,17 @@ def load_bundle(bundle: Union[str, Path], best: bool = False):
     ``load_learner`` equivalent for prediction and transfer learning."""
     d, manifest_path, weights_path = bundle_paths(bundle)
     manifest = load_manifest(manifest_path)
+    if manifest.get("tpu_opt"):
+        from ..models.unet import TPU_OPT_TOPOLOGY_VERSION
+
+        v = manifest.get("tpu_opt_topology", 1)
+        if v != TPU_OPT_TOPOLOGY_VERSION:
+            raise ValueError(
+                f"Bundle {d} was trained with tpu_opt topology v{v}; this "
+                f"build uses v{TPU_OPT_TOPOLOGY_VERSION} (parameter shapes "
+                "differ). Retrain, or load with the matching framework "
+                "version. (The parity topology — tpu_opt=False — is stable "
+                "across versions.)")
     best_path = d / "best-model.msgpack"
     if best and best_path.exists():
         weights_path = best_path

@@ -44,6 +44,7 @@ from ..data import (
     resolve_class_weights,
 )
 from ..models import build_unet
+from ..models.unet import TPU_OPT_TOPOLOGY_VERSION
 from ..parallel.mesh import make_mesh, replicate_tree, shard_batch
 from . import checkpoint as ckpt
 from . import metrics as M
@@ -533,6 +534,7 @@ class Trainer:
             "n_out": self.n_out,
             "c_in": self.c_in,
             "tpu_opt": cfg.tpu_opt,
+            "tpu_opt_topology": TPU_OPT_TOPOLOGY_VERSION if cfg.tpu_opt else None,
             "dtype_str": self.dtype_str,
             "normalize": cfg.normalize,
             "resolved_class_weights": list(self.class_weights),
