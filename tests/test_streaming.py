@@ -146,6 +146,18 @@ class TestStreamedPrediction:
         assert info.transform == T
         assert info.crs == "EPSG:32632"
 
+        # probability outputs stream identically (all_classes: C-band f32)
+        ram_ac, _, _ = predict_raster(
+            str(bundle), str(ip), patch_size=64, patch_overlap=0.2,
+            batch_size=2, all_classes=True, device_budget_bytes=0)
+        out_ac = tmp_path / "streamed_ac.tif"
+        predict_raster_streamed(str(bundle), str(ip), str(out_ac),
+                                patch_size=64, patch_overlap=0.2,
+                                batch_size=2, all_classes=True)
+        streamed_ac, info_ac = tiff.read(str(out_ac))
+        assert streamed_ac.shape[0] == 2 and streamed_ac.dtype == np.float32
+        np.testing.assert_allclose(streamed_ac, np.asarray(ram_ac), rtol=1e-6)
+
     def test_budget_routes_to_streaming(self, tmp_path, capsys):
         """predict_raster silently switches to the streamed path when the
         scene+mosaic would exceed host_budget_bytes."""
