@@ -37,10 +37,10 @@ from .xresnet import ARCHS, XResNetBody
 
 
 # bumped whenever a tpu_opt structural change alters parameter shapes
-# (folded stem / conv-transpose upsample / slim decoder = version 2);
-# bundles record it so a topology mismatch fails with a clear message
-# instead of a weight-shape error (train/checkpoint.py)
-TPU_OPT_TOPOLOGY_VERSION = 2
+# (folded stem / conv-transpose upsample / slim decoder = v2; single-conv
+# final block = v3); bundles record it so a topology mismatch fails with a
+# clear message instead of a weight-shape error (train/checkpoint.py)
+TPU_OPT_TOPOLOGY_VERSION = 3
 
 
 class UnetBlock(nn.Module):
@@ -55,6 +55,9 @@ class UnetBlock(nn.Module):
     # but no materialized 6-D transpose (layers.ConvTransposeUp)
     up_nf: Optional[int] = None  # override upsample output channels
     nf_out: Optional[int] = None  # override conv1/conv2 output channels
+    single_conv: bool = False  # drop conv2 (tpu_opt final block: its output
+    # feeds straight into the last_cross ResBlock's two convs at the same
+    # resolution, so one of four consecutive 3×3 convs goes)
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -80,7 +83,8 @@ class UnetBlock(nn.Module):
         ni = cat.shape[-1]
         nf = self.nf_out or (ni if self.final_div else ni // 2)
         x = ConvLayer(nf, 3, norm=self.norm, dtype=self.dtype, name="conv1")(cat, train)
-        x = ConvLayer(nf, 3, norm=self.norm, dtype=self.dtype, name="conv2")(x, train)
+        if not self.single_conv:
+            x = ConvLayer(nf, 3, norm=self.norm, dtype=self.dtype, name="conv2")(x, train)
         if self.self_attention:
             x = SelfAttention(dtype=self.dtype, name="sa")(x, train)
         return x
@@ -168,6 +172,7 @@ class DynamicUnet(nn.Module):
                 convt_up=self.tpu_opt,
                 up_nf=up_nf,
                 nf_out=nf_out,
+                single_conv=self.tpu_opt and not not_final,
                 dtype=self.dtype,
                 name=f"up_{i}",
             )(y, skip, train)
