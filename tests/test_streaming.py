@@ -65,6 +65,103 @@ class TestReadWindow:
         win, _ = tiff.read_window(str(p), 95, 200)
         assert win.shape == (3, 5, 130)
 
+    @pytest.mark.parametrize("kw", [
+        dict(rows_per_strip=8),
+        dict(tile=(16, 16)),
+        dict(rows_per_strip=8, compress="deflate"),
+    ])
+    def test_io_is_o_window_not_o_file(self, tmp_path, kw):
+        """A window at the top of a tall scene must read ≪ the file: only
+        header + IFD + the intersecting strip/tile byte ranges (the round-2
+        implementation slurped the whole file into RAM)."""
+        arr = _scene(h=1024, w=256)
+        p = tmp_path / "tall.tif"
+        tiff.write(str(p), arr, **kw)
+        file_size = p.stat().st_size
+        cache = {}
+        win, _ = tiff.read_window(str(p), 0, 32, _cache=cache)
+        full, _ = tiff.read(str(p))
+        np.testing.assert_array_equal(win, full[:, :32])
+        bytes_read = cache["f"].bytes_read
+        cache["f"].close()
+        # 32/1024 rows ≈ 3% of pixel data; allow IFD + slack
+        assert bytes_read < file_size * 0.15, (bytes_read, file_size)
+
+    @pytest.mark.parametrize("kw", [
+        dict(rows_per_strip=8),
+        dict(tile=(16, 16)),
+    ])
+    def test_evict_decoded_rows(self, tmp_path, kw):
+        """Top-down consumption with eviction keeps the decoded-segment
+        cache bounded for BOTH strip- and tile-organized inputs (the round-2
+        eviction keyed on RowsPerStrip and never evicted tiled files)."""
+        arr = _scene(h=128, w=64)
+        p = tmp_path / "e.tif"
+        tiff.write(str(p), arr, **kw)
+        full, _ = tiff.read(str(p))
+        cache = {}
+        max_cached = 0
+        for y in range(0, 128, 16):
+            win, _ = tiff.read_window(str(p), y, y + 16, _cache=cache)
+            np.testing.assert_array_equal(win, full[:, y : y + 16])
+            tiff.evict_decoded_rows(cache, y + 16)
+            max_cached = max(max_cached, len(cache["segs"]))
+        cache["f"].close()
+        # segment rows are 8 (strip) or 16 (tile) → a 16-row front touches
+        # at most 3 segment rows; tiled files have 4 tiles across
+        assert max_cached <= 12, max_cached
+        assert len(cache["segs"]) == 0  # everything behind the front evicted
+
+    def test_evict_decoded_rows_planar(self, tmp_path):
+        """Planar-separate strips repeat per-plane; eviction must map the
+        plane-offset keys back to row extents. The writer emits chunky only,
+        so hand-assemble a minimal planar-2 classic TIFF."""
+        import struct as _struct
+
+        arr = _scene(h=16, w=8, c=2)
+        rps, h, w, c = 4, 16, 8, 2  # one strip per 4 rows per plane
+        strips = []
+        for b in range(c):
+            for s in range(h // rps):
+                strips.append(arr[b, s * rps : (s + 1) * rps].tobytes())
+        n = len(strips)
+        header = _struct.pack("<2sHI", b"II", 42, 8)
+        ifd_off = 8
+        entries = [
+            (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 8), (259, 3, 1, 1),
+            (262, 3, 1, 1), (273, 4, n, 0), (277, 3, 1, c), (278, 4, 1, rps),
+            (279, 4, n, 0), (284, 3, 1, 2),
+        ]
+        ifd_entries = len(entries)
+        off_arr_pos = ifd_off + 2 + ifd_entries * 12 + 4
+        cnt_arr_pos = off_arr_pos + 4 * n
+        data_off = cnt_arr_pos + 4 * n
+        offs, pos = [], data_off
+        for st in strips:
+            offs.append(pos)
+            pos += len(st)
+        entries = [(273, 4, n, off_arr_pos) if e[0] == 273 else
+                   (279, 4, n, cnt_arr_pos) if e[0] == 279 else e
+                   for e in entries]
+        body = _struct.pack("<H", ifd_entries)
+        for tag, ft, cnt, val in entries:
+            body += _struct.pack("<HHII", tag, ft, cnt, val)
+        body += _struct.pack("<I", 0)
+        body += _struct.pack("<" + "I" * n, *offs)
+        body += _struct.pack("<" + "I" * n, *[len(s) for s in strips])
+        p = tmp_path / "planar.tif"
+        p.write_bytes(header + body + b"".join(strips))
+
+        full, info = tiff.read(str(p))
+        np.testing.assert_array_equal(full, arr)
+        cache = {}
+        tiff.read_window(str(p), 0, 4, _cache=cache)
+        assert len(cache["segs"]) == 2  # one strip per plane
+        tiff.read_window(str(p), 4, 8, _cache=cache)
+        tiff.evict_decoded_rows(cache, 8)
+        assert len(cache["segs"]) == 0  # both planes' strips 0-1 evicted
+        cache["f"].close()
+
 
 class TestStripStreamWriter:
     @pytest.mark.parametrize("compress", [None, "deflate", "packbits"])
@@ -102,6 +199,35 @@ class TestStripStreamWriter:
         wr.append_rows(np.zeros((4, 5, 1), np.uint8))
         with pytest.raises(ValueError, match="4/10 rows"):
             wr.close()
+
+    def test_bigtiff_auto_selected_for_huge_outputs(self, tmp_path):
+        """A streamed mosaic whose data would overflow classic TIFF's 32-bit
+        offsets must auto-upgrade to BigTIFF at close() instead of raising
+        struct.error after all compute (ADVICE round 2, high)."""
+        # decision function: the exact boundary cases
+        assert not tiff._needs_bigtiff(1 << 20, [1000] * 8)
+        assert tiff._needs_bigtiff(0xFFFFFFFF + 1, [1000] * 8)
+        assert tiff._needs_bigtiff(0xFFFFFFF0, [1000] * 8)  # slack counts
+        assert tiff._needs_bigtiff(1 << 20, [0x1_0000_0001])
+        # small outputs stay classic TIFF (with the 16-byte prelude)
+        p = tmp_path / "small.tif"
+        with tiff.StripStreamWriter(str(p), 8, 8, 1, np.uint8) as wr:
+            wr.append_rows(np.zeros((8, 8, 1), np.uint8))
+        raw = p.read_bytes()
+        assert raw[:4] == b"II\x2a\x00"  # classic magic 42
+        back, info = tiff.read(str(p))
+        assert not info.tags["_bigtiff"]
+        assert back.shape == (1, 8, 8)
+        # forcing a tiny threshold exercises the close()-time upgrade end
+        # to end without writing 4 GiB
+        q = tmp_path / "up.tif"
+        wr = tiff.StripStreamWriter(str(q), 8, 8, 1, np.uint8)
+        wr.append_rows(np.arange(64, dtype=np.uint8).reshape(8, 8, 1))
+        wr.bigtiff = True  # what _needs_bigtiff would decide for >4 GiB
+        wr.close()
+        back, info = tiff.read(str(q))
+        assert info.tags["_bigtiff"]
+        np.testing.assert_array_equal(back[0].ravel(), np.arange(64))
 
 
 @pytest.mark.slow

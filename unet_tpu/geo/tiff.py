@@ -349,26 +349,48 @@ def _predict_float(seg: np.ndarray) -> bytes:
 
 
 def read_info(path: str) -> TiffInfo:
-    """Parse the first IFD of a TIFF without decoding pixel data."""
+    """Parse the first IFD of a TIFF without decoding pixel data.
+
+    Uses bounded seek-based reads (header + IFD + out-of-line tag values
+    only) — a 40 GB BigTIFF costs a few KB of I/O here."""
     with open(path, "rb") as f:
-        data = f.read()
-    return _parse_info(data)
+        return _parse_info_fh(f)
 
 
 def _parse_info(data: bytes) -> TiffInfo:
-    if data[:2] == b"II":
+    import io
+
+    return _parse_info_fh(io.BytesIO(data))
+
+
+def _parse_info_fh(f) -> TiffInfo:
+    """Parse the first IFD from an open binary file handle with bounded
+    reads: the header, the IFD entry block, and each out-of-line value are
+    fetched by seek — never the whole file (the IFD may sit at EOF for
+    streamed files; offsets are absolute so this costs nothing)."""
+
+    def pread(off: int, n: int) -> bytes:
+        f.seek(off)
+        raw = f.read(n)
+        if len(raw) < n:
+            raise ValueError(
+                f"Truncated TIFF: wanted {n} bytes at offset {off}, got {len(raw)}")
+        return raw
+
+    head = pread(0, 8)
+    if head[:2] == b"II":
         bo = "<"
-    elif data[:2] == b"MM":
+    elif head[:2] == b"MM":
         bo = ">"
     else:
         raise ValueError("Not a TIFF file")
-    (magic,) = struct.unpack(bo + "H", data[2:4])
+    (magic,) = struct.unpack(bo + "H", head[2:4])
     if magic == 42:  # classic TIFF
         bigtiff = False
-        (ifd_off,) = struct.unpack(bo + "I", data[4:8])
+        (ifd_off,) = struct.unpack(bo + "I", head[4:8])
     elif magic == 43:  # BigTIFF
         bigtiff = True
-        offsize, pad, ifd_off = struct.unpack(bo + "HHQ", data[4:16])
+        offsize, pad, ifd_off = struct.unpack(bo + "HHQ", pread(4, 12))
         if offsize != 8 or pad != 0:
             raise ValueError(f"Malformed BigTIFF header (offsize={offsize})")
     else:
@@ -376,23 +398,26 @@ def _parse_info(data: bytes) -> TiffInfo:
 
     tags: Dict[int, object] = {}
     if bigtiff:
-        (n_entries,) = struct.unpack(bo + "Q", data[ifd_off : ifd_off + 8])
+        (n_entries,) = struct.unpack(bo + "Q", pread(ifd_off, 8))
         entry_base, entry_size, count_fmt, inline = ifd_off + 8, 20, "Q", 8
     else:
-        (n_entries,) = struct.unpack(bo + "H", data[ifd_off : ifd_off + 2])
+        (n_entries,) = struct.unpack(bo + "H", pread(ifd_off, 2))
         entry_base, entry_size, count_fmt, inline = ifd_off + 2, 12, "I", 4
+    entry_block = pread(entry_base, entry_size * n_entries)
 
     for i in range(n_entries):
-        off = entry_base + entry_size * i
-        tag, ftype = struct.unpack(bo + "HH", data[off : off + 4])
-        (count,) = struct.unpack(bo + count_fmt, data[off + 4 : off + 4 + (8 if bigtiff else 4)])
+        off = entry_size * i
+        tag, ftype = struct.unpack(bo + "HH", entry_block[off : off + 4])
+        (count,) = struct.unpack(
+            bo + count_fmt, entry_block[off + 4 : off + 4 + (8 if bigtiff else 4)])
         vpos = off + 4 + (8 if bigtiff else 4)
         size = _TYPE_SIZE.get(ftype, 1) * count
         if size <= inline:
-            raw = data[vpos : vpos + size]
+            raw = entry_block[vpos : vpos + size]
         else:
-            (voff,) = struct.unpack(bo + ("Q" if bigtiff else "I"), data[vpos : vpos + inline])
-            raw = data[voff : voff + size]
+            (voff,) = struct.unpack(
+                bo + ("Q" if bigtiff else "I"), entry_block[vpos : vpos + inline])
+            raw = pread(voff, size)
         if ftype == TYPE_ASCII:
             tags[tag] = raw.rstrip(b"\x00").decode("latin1")
         elif ftype in _TYPE_FMT:
@@ -830,6 +855,8 @@ def write(
                                    use_pred2, use_pred3, transform, crs, nodata))
 
     seg_counts = [len(p) for p in segments]
+    if not bigtiff and sum(seg_counts) + 4096 + 16 * len(segments) > 0xFFFFFFFF:
+        bigtiff = True  # classic TIFF offsets are 32-bit; auto-upgrade
     offset_type = TYPE_LONG8 if bigtiff else TYPE_LONG
     entries.append((cnt_tag, offset_type, seg_counts))
     entries.append((off_tag, offset_type, [0] * len(segments)))  # patched below
@@ -910,6 +937,26 @@ def write(
 # --- windowed access / streaming ---------------------------------------------
 
 
+class _CountingFile:
+    """Thin wrapper recording bytes actually read — the O(band) memory claim
+    of the streamed path is asserted against this in tests."""
+
+    def __init__(self, f):
+        self._f = f
+        self.bytes_read = 0
+
+    def seek(self, *a):
+        return self._f.seek(*a)
+
+    def read(self, n: int = -1) -> bytes:
+        raw = self._f.read(n)
+        self.bytes_read += len(raw)
+        return raw
+
+    def close(self):
+        self._f.close()
+
+
 def read_window(path: str, row0: int, row1: int,
                 col0: int = 0, col1: Optional[int] = None,
                 _cache: Optional[dict] = None) -> Tuple[np.ndarray, TiffInfo]:
@@ -918,22 +965,27 @@ def read_window(path: str, row0: int, row1: int,
     Returns ``((C, row1-row0, col1-col0), info)``. This is the L0 primitive
     behind streamed whole-scene prediction: a multi-gigapixel orthophoto is
     consumed band-by-band without a full-scene decode (the reference reads
-    entire scenes into RAM — create_tiles_unet.py:282). Pass a dict as
-    ``_cache`` to reuse the open file handle + parsed tags across calls.
+    entire scenes into RAM — create_tiles_unet.py:282). I/O is strictly
+    windowed: the header+IFD are parsed with bounded seeks and only the
+    strip/tile byte ranges a window touches are fetched (``pread`` style) —
+    the file is never slurped, so a 40 GB BigTIFF costs O(window) RAM.
+
+    Pass a dict as ``_cache`` to reuse the open file handle + parsed tags +
+    decoded segments across calls; ``cache['f'].bytes_read`` counts I/O and
+    :func:`evict_decoded_rows` bounds the decoded-segment memory for
+    top-down consumers.
     """
     cache = _cache if _cache is not None else {}
     if "info" not in cache:
-        cache["f"] = open(path, "rb")
-        header = cache["f"].read(16)
-        # _parse_info needs the IFD; simplest robust route: read the whole
-        # header+IFD region lazily — IFDs are small, but may sit at EOF for
-        # streamed files. Read the file in two probes.
-        cache["f"].seek(0)
-        data = cache["f"].read()
-        cache["data"] = data
-        cache["info"] = _parse_info(data)
+        cache["f"] = _CountingFile(open(path, "rb"))
+        cache["info"] = _parse_info_fh(cache["f"])
     info = cache["info"]
-    data = cache["data"]
+    fh = cache["f"]
+
+    def fetch(offset: int, count: int) -> bytes:
+        fh.seek(offset)
+        return fh.read(count)
+
     tags = info.tags
     bo = tags["_byteorder"]
     compression = int(tags.get(TAG_COMPRESSION, 1))
@@ -964,7 +1016,7 @@ def read_window(path: str, row0: int, row1: int,
                     i = plane_idx * per_plane + ty * tiles_across + tx
                     seg = seg_cache.get(i)
                     if seg is None:
-                        raw = _decompress(data[offsets[i]: offsets[i] + counts[i]],
+                        raw = _decompress(fetch(offsets[i], counts[i]),
                                           compression, tl * tw * channels * itemsize)
                         seg = _decode_segment(raw, tl, tw, channels, predictor, dt)
                         seg_cache[i] = seg
@@ -993,7 +1045,7 @@ def read_window(path: str, row0: int, row1: int,
             i = plane_idx * strips_per_plane + s
             seg = seg_cache.get(i)
             if seg is None:
-                raw = _decompress(data[offsets[i]: offsets[i] + counts[i]],
+                raw = _decompress(fetch(offsets[i], counts[i]),
                                   compression, rows * w * channels * itemsize)
                 seg = _decode_segment(raw, rows, w, channels, predictor, dt)
                 seg_cache[i] = seg
@@ -1007,6 +1059,54 @@ def read_window(path: str, row0: int, row1: int,
         for b in range(c):
             fill_strips(b, 1, b)
     return np.moveaxis(out, 2, 0), info
+
+
+def evict_decoded_rows(cache: dict, before_row: int) -> None:
+    """Drop decoded segments from a :func:`read_window` cache that lie
+    entirely above ``before_row``.
+
+    Organization-aware: segment-cache keys are global segment indices, so
+    strip keys map to rows via RowsPerStrip while tile keys map via
+    TileLength and the tiles-across grid; planar-separate files repeat the
+    per-plane layout at a plane offset. Top-down consumers (streamed
+    whole-scene prediction) call this as their front advances to keep the
+    decoded cache O(band) instead of accumulating the whole scene.
+    """
+    segs = cache.get("segs")
+    info = cache.get("info")
+    if not segs or info is None:
+        return
+    tags = info.tags
+    h = info.height
+    if TAG_TILE_OFFSETS in tags:
+        tl = int(tags[TAG_TILE_LENGTH])
+        tw = int(tags[TAG_TILE_WIDTH])
+        tiles_across = (info.width + tw - 1) // tw
+        tiles_down = (h + tl - 1) // tl
+        per_plane = tiles_down * tiles_across
+
+        def row_end(i: int) -> int:
+            return min(((i % per_plane) // tiles_across + 1) * tl, h)
+    else:
+        rps = int(tags.get(TAG_ROWS_PER_STRIP, h))
+        per_plane = (h + rps - 1) // rps
+
+        def row_end(i: int) -> int:
+            return min(((i % per_plane) + 1) * rps, h)
+
+    for k in [k for k in segs if row_end(k) <= before_row]:
+        del segs[k]
+
+
+def _needs_bigtiff(data_end: int, counts: Sequence[int]) -> bool:
+    """True when classic TIFF's 32-bit offsets/counts can no longer address
+    the file: the IFD sits after ``data_end`` bytes of pixel data, plus
+    generous slack for the IFD block and out-of-line value arrays. Called at
+    ``StripStreamWriter.close()`` so a >4 GiB streamed mosaic auto-upgrades
+    to BigTIFF instead of raising struct.error AFTER all compute."""
+    ifd_slack = 4096 + 16 * len(counts)
+    return (data_end + ifd_slack > 0xFFFFFFFF) or \
+        (max(counts, default=0) > 0xFFFFFFFF)
 
 
 class StripStreamWriter:
@@ -1034,15 +1134,19 @@ class StripStreamWriter:
                 f"Unsupported compression {compress!r}; options: deflate, lzw, packbits")
         self.comp_code, self._compress_fn = _WRITE_COMPRESSORS[compress]
         self.transform, self.crs, self.nodata = transform, crs, nodata
+        # ``bigtiff=True`` forces the 8-byte-offset container; with the
+        # default False the container is chosen at close(), when the actual
+        # offsets are known: a streamed mosaic whose data exceeds 4 GiB
+        # (e.g. all_classes float32 output of a multi-gigapixel scene) would
+        # otherwise fail at close() AFTER all compute, with no IFD written.
+        # A 16-byte prelude is reserved either way (classic header + 8 pad
+        # bytes, or the BigTIFF header) so the decision is free.
         self.bigtiff = bool(bigtiff)
         row_bytes = max(1, self.w * self.c * self.dtype.itemsize)
         self.rps = int(rows_per_strip or max(1, min(self.h, (1 << 20) // row_bytes)))
         self._f = open(path, "wb")
         self._bo = "<"
-        if self.bigtiff:
-            self._f.write(struct.pack("<2sHHHQ", b"II", 43, 8, 0, 0))
-        else:
-            self._f.write(struct.pack("<2sHI", b"II", 42, 0))
+        self._f.write(b"\x00" * 16)  # header patched at close()
         self._offsets: List[int] = []
         self._counts: List[int] = []
         self._pending = np.zeros((0, self.w, self.c), self.dtype)
@@ -1079,26 +1183,30 @@ class StripStreamWriter:
             self._f.close()
             raise ValueError(
                 f"StripStreamWriter closed after {self._rows_done}/{self.h} rows")
+        # decide the container now that every offset is known
+        data_end = self._f.tell()
+        bigtiff = self.bigtiff or _needs_bigtiff(data_end, self._counts)
+        self.bigtiff = bigtiff
         entries = _common_entries(self.dtype, self.c, self.h, self.w,
                                   self.comp_code, False, False,
                                   self.transform, self.crs, self.nodata)
         entries.append((TAG_ROWS_PER_STRIP, TYPE_LONG, [self.rps]))
-        offset_type = TYPE_LONG8 if self.bigtiff else TYPE_LONG
+        offset_type = TYPE_LONG8 if bigtiff else TYPE_LONG
         entries.append((TAG_STRIP_BYTE_COUNTS, offset_type, self._counts))
         entries.append((TAG_STRIP_OFFSETS, offset_type, self._offsets))
         entries.sort(key=lambda e: e[0])
         bo = self._bo
-        if self.bigtiff:
+        if bigtiff:
             entry_size, count_fmt, inline, next_fmt = 20, "Q", 8, "Q"
         else:
             entry_size, count_fmt, inline, next_fmt = 12, "I", 4, "I"
-        pos = self._f.tell()
+        pos = data_end
         if pos & 1:
             self._f.write(b"\x00")
             pos += 1
         ifd_off = pos
         n_tags = len(entries)
-        ifd_size = (8 if self.bigtiff else 2) + n_tags * entry_size + struct.calcsize(next_fmt)
+        ifd_size = (8 if bigtiff else 2) + n_tags * entry_size + struct.calcsize(next_fmt)
         overflow_off = ifd_off + ifd_size
         overflow: List[bytes] = []
         out = bytearray()
@@ -1123,8 +1231,13 @@ class StripStreamWriter:
             if len(o) & 1:
                 out += b"\x00"
         self._f.write(bytes(out))
-        self._f.seek(8 if self.bigtiff else 4)
-        self._f.write(struct.pack(bo + ("Q" if self.bigtiff else "I"), ifd_off))
+        self._f.seek(0)
+        if bigtiff:
+            self._f.write(struct.pack(bo + "2sHHHQ", b"II", 43, 8, 0, ifd_off))
+        else:
+            # bytes 8..16 of the prelude stay zero — legal padding before
+            # the first strip; readers follow the header's IFD pointer
+            self._f.write(struct.pack(bo + "2sHI", b"II", 42, ifd_off))
         self._f.close()
         self._closed = True
 

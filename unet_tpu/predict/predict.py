@@ -211,23 +211,35 @@ def predict_raster_streamed(
         rows_chw, _ = tiff_codec.read_window(raster_path, y, y + patch,
                                              _cache=read_cache)
         # drop decoded segments fully above the advancing front
-        tags = read_cache["info"].tags
-        rps = int(tags.get(tiff_codec.TAG_ROWS_PER_STRIP, h))
-        for k in [k for k in read_cache.get("segs", {}) if (k + 1) * rps <= y]:
-            read_cache["segs"].pop(k, None)
+        # (organization-aware: correct for strip-, tile- and planar-
+        # organized inputs — tag semantics live in geo.tiff, not here)
+        tiff_codec.evict_decoded_rows(read_cache, y)
         rows_hwc = np.moveaxis(rows_chw, 0, 2)
+        # 1-deep pipeline within the row group: batch N's d2h fetch +
+        # accumulation overlap batch N+1's forward (drained before the
+        # group's rows can be finalized)
+        pending = None
+
+        def accumulate(chunk, probs_dev):
+            for win, p in zip(chunk, np.asarray(probs_dev)):
+                band_sum[y - acc_base : y - acc_base + patch,
+                         win.x : win.x + patch] += p
+                band_cnt[y - acc_base : y - acc_base + patch,
+                         win.x : win.x + patch] += 1.0
+
         for start in range(0, len(group), bs):
             chunk = group[start : start + bs]
             batch = np.stack([rows_hwc[:, win.x : win.x + patch] for win in chunk])
             if len(chunk) < bs:
                 batch = np.concatenate(
                     [batch, np.repeat(batch[-1:], bs - len(chunk), axis=0)], axis=0)
-            probs = predictor.predict_batch(batch.astype(np.float32))[: len(chunk)]
-            for win, p in zip(chunk, probs):
-                band_sum[y - acc_base : y - acc_base + patch,
-                         win.x : win.x + patch] += p
-                band_cnt[y - acc_base : y - acc_base + patch,
-                         win.x : win.x + patch] += 1.0
+            probs = predictor.predict_batch_device(
+                batch.astype(np.float32))[: len(chunk)]
+            if pending is not None:
+                accumulate(*pending)
+            pending = (chunk, probs)
+        if pending is not None:
+            accumulate(*pending)
         i += len(group)
     finalize_rows(h)
     writer.close()
@@ -316,6 +328,14 @@ def predict_raster(
         host_cnt = np.zeros((h, w), np.float32)
 
     bs = predictor.batch_size
+    pending = None  # 1-deep pipeline: fetch batch N while N+1 computes
+
+    def accumulate(chunk, probs_dev):
+        for win, p in zip(chunk, np.asarray(probs_dev)):
+            rs, cs = win.indices()
+            host_sum[rs, cs] += p
+            host_cnt[rs, cs] += 1.0
+
     for start in range(0, len(windows), bs):
         chunk = windows[start : start + bs]
         batch = np.stack([hwc[win.indices()] for win in chunk])
@@ -331,11 +351,11 @@ def predict_raster(
                 np.asarray([win.x for win in chunk], np.int32),
             )
         else:
-            probs_h = np.asarray(probs)
-            for win, p in zip(chunk, probs_h):
-                rs, cs = win.indices()
-                host_sum[rs, cs] += p
-                host_cnt[rs, cs] += 1.0
+            if pending is not None:
+                accumulate(*pending)
+            pending = (chunk, probs)
+    if pending is not None:
+        accumulate(*pending)
 
     if on_device:
         summed, counter = mosaic.finalize()
@@ -460,52 +480,27 @@ def save_predictions(
             accumulator = MosaicAccumulator(infos, large_file=large_file)
 
     bs = predictor.batch_size
-    n_batches = (len(tiles) + bs - 1) // bs
-    report_every = max(n_batches // 10, 1)
     # batch within shape groups only (group boundaries never straddle a batch)
     batch_starts = []
-    offset = 0
-    for group in by_shape.values():
-        batch_starts.extend(range(offset, offset + len(group), bs))
-        offset += len(group)
     group_ends = {}
     offset = 0
     for group in by_shape.values():
         for s in range(offset, offset + len(group), bs):
+            batch_starts.append(s)
             group_ends[s] = min(s + bs, offset + len(group))
         offset += len(group)
 
-    for batch_idx, start in enumerate(batch_starts):
-        if batch_idx % report_every == 0:
-            print(f"Processing tiles: {start}/{len(tiles)}", flush=True)
+    def load_batch(start):
         chunk = tiles[start : group_ends[start]]
         rasters = [read_raster(t) for t in chunk]
         batch = np.stack([np.moveaxis(r.data.astype(np.float32), 0, 2) for r in rasters])
         if len(chunk) < bs:  # pad final batch
             pad = np.repeat(batch[-1:], bs - len(chunk), axis=0)
             batch = np.concatenate([batch, pad], axis=0)
+        return start, chunk, rasters, batch
 
-        if device_mosaic is not None:
-            # device-side blend: probabilities never leave HBM (folded
-            # layout so the C≪128 lane padding is written dense once)
-            probs_dev = predictor.predict_batch_device(batch, folded=True)[: len(chunk)]
-            device_mosaic.add_batch(
-                probs_dev,
-                tile_rows[start : start + len(chunk)],
-                tile_cols[start : start + len(chunk)],
-            )
-            continue
-        if large_file and not regression and not merge and (all_classes or sc_selected):
-            # large_file int8 stretch ON DEVICE (×31 + round-half-even ==
-            # np.around, predict.py:245-249; softmax probs are ≤ 1 so the
-            # reference's max()<=1 gate is always met) — the device→host
-            # fetch shrinks 4×. The host re-stretch below self-disables on
-            # int8 input (max 31 > 1).
-            probs = np.asarray(predictor.predict_batch_device(
-                batch, quantize_int8=True))[: len(chunk)]
-        else:
-            probs = predictor.predict_batch(batch)[: len(chunk)]  # (b,H,W,C)
-
+    def process(chunk, rasters, probs):
+        """Host side of one batch: per-tile select/quantize/write."""
         for tile_path, raster, p in zip(chunk, rasters, probs):
             class_stack = np.moveaxis(p, 2, 0)  # (C,H,W)
             if merge:
@@ -534,6 +529,68 @@ def save_predictions(
                 output_folder / tile_path.name, np.asarray(out),
                 transform=raster.transform, crs=raster.crs,
             )
+
+    # large_file int8 stretch ON DEVICE (×31 + round-half-even == np.around,
+    # predict.py:245-249; softmax probs are ≤ 1 so the reference's max()<=1
+    # gate is always met) — the device→host fetch shrinks 4×. The host
+    # re-stretch in process() self-disables on int8 input (max 31 > 1).
+    use_int8 = large_file and not regression and not merge \
+        and (all_classes or sc_selected)
+
+    # 3-stage pipeline: tile reads prefetch on a thread, the jitted forward
+    # dispatches asynchronously, and each batch's d2h fetch + host writes
+    # happen while the NEXT batch computes — the device never idles on host
+    # I/O (the reference round-trips per single tile, predict.py:191-193)
+    import concurrent.futures as cf
+    from collections import deque
+
+    from ..utils.progress import TileProgress
+
+    read_pool = cf.ThreadPoolExecutor(max_workers=2, thread_name_prefix="tiles")
+    starts_iter = iter(batch_starts)
+    reads: deque = deque()
+    for _ in range(2):
+        try:
+            reads.append(read_pool.submit(load_batch, next(starts_iter)))
+        except StopIteration:
+            break
+    pending: deque = deque()  # (chunk, rasters, device probs)
+    try:
+        with TileProgress(len(tiles)) as prog:
+            while reads:
+                fut = reads.popleft()
+                try:
+                    reads.append(read_pool.submit(load_batch, next(starts_iter)))
+                except StopIteration:
+                    pass
+                start, chunk, rasters, batch = fut.result()
+
+                if device_mosaic is not None:
+                    # device-side blend: probabilities never leave HBM
+                    # (folded layout so the C≪128 lane padding is written
+                    # dense once)
+                    probs_dev = predictor.predict_batch_device(
+                        batch, folded=True)[: len(chunk)]
+                    device_mosaic.add_batch(
+                        probs_dev,
+                        tile_rows[start : start + len(chunk)],
+                        tile_cols[start : start + len(chunk)],
+                    )
+                    prog.update(len(chunk))
+                    continue
+                probs_dev = predictor.predict_batch_device(
+                    batch, quantize_int8=use_int8)[: len(chunk)]
+                pending.append((chunk, rasters, probs_dev))
+                if len(pending) > 1:
+                    c, r, p = pending.popleft()
+                    process(c, r, np.asarray(p))
+                    prog.update(len(c))
+            while pending:
+                c, r, p = pending.popleft()
+                process(c, r, np.asarray(p))
+                prog.update(len(c))
+    finally:
+        read_pool.shutdown(wait=False)
 
     if validation_vision and not merge and not regression:
         from .figures import plot_valid_predict
