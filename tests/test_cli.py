@@ -83,3 +83,36 @@ def test_serve_multi_scene_parser():
     assert a.raster == ["a.tif", "b.tif"] and a.output == "outdir"
     b = ap.parse_args(["serve", "m", "a.tif", "out.tif", "--stream"])
     assert b.raster == ["a.tif"] and b.output == "out.tif" and b.stream
+
+
+def test_predict_serve_expose_class_zero_and_device_merge():
+    """The reference drives class_zero through prediction
+    (params_and_main.py:94, predict.py:32-35); the CLI must be able to
+    reproduce that workflow, and the device-side merge is reachable too."""
+    from unet_tpu.__main__ import build_parser
+
+    ap = build_parser()
+    a = ap.parse_args(["predict", "m", "tiles", "--merge", "--class-zero",
+                       "--device-merge"])
+    assert a.class_zero and a.device_merge
+    d = ap.parse_args(["predict", "m", "tiles"])
+    assert not d.class_zero and not d.device_merge
+    s = ap.parse_args(["serve", "m", "a.tif", "out.tif", "--class-zero"])
+    assert s.class_zero
+
+
+def test_predict_cli_class_zero_applied(tmp_path, rng, monkeypatch):
+    """--class-zero actually reaches save_predictions (not just the parser)."""
+    from unet_tpu import __main__ as m
+
+    captured = {}
+
+    def fake_save(*args, **kw):
+        captured.update(kw)
+        captured["args"] = args
+        return tmp_path
+
+    monkeypatch.setattr("unet_tpu.predict.save_predictions", fake_save)
+    m.cli(["predict", "model", "tiles", "--class-zero", "--device-merge"])
+    assert captured["class_zero"] is True
+    assert captured["device_merge"] is True

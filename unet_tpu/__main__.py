@@ -69,6 +69,12 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--aoi", default=None)
     pr.add_argument("--year", default=None)
     pr.add_argument("--validation-vision", action="store_true")
+    pr.add_argument("--class-zero", action="store_true",
+                    help="0 = nodata: decrement classes on write "
+                         "(reference predict.py:32-35)")
+    pr.add_argument("--device-merge", action="store_true",
+                    help="accumulate the merge mosaic in HBM (overlap-blend "
+                         "on device) instead of per-tile host round trips")
     pr.add_argument("--batch-size", type=int, default=16)
     pr.add_argument("--reference-quirks", action="store_true")
 
@@ -84,6 +90,8 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--regression", action="store_true")
     sv.add_argument("--all-classes", action="store_true")
     sv.add_argument("--specific-class", type=int, default=None)
+    sv.add_argument("--class-zero", action="store_true",
+                    help="0 = nodata: decrement classes on write")
     sv.add_argument("--stream", action="store_true",
                     help="force the O(band)-memory streamed path (windowed "
                          "reads, strip-streamed output); automatic for "
@@ -142,7 +150,9 @@ def cli(argv=None) -> int:
         out = save_predictions(args.model, args.tiles, args.regression, args.merge,
                                args.all_classes, args.specific_class, args.large_file,
                                args.aoi, args.year, args.validation_vision,
+                               class_zero=args.class_zero,
                                batch_size=args.batch_size,
+                               device_merge=args.device_merge,
                                reference_quirks=args.reference_quirks)
         print(f"Predictions at {out}")
     elif args.command == "serve":
@@ -155,7 +165,8 @@ def cli(argv=None) -> int:
                                 batch_size=args.batch_size,
                                 regression=args.regression,
                                 all_classes=args.all_classes,
-                                specific_class=args.specific_class)
+                                specific_class=args.specific_class,
+                                class_zero=args.class_zero)
             print(f"{len(outs)} mosaics in {args.output}")
         elif args.stream:
             from .predict import predict_raster_streamed
@@ -166,7 +177,8 @@ def cli(argv=None) -> int:
                                     batch_size=args.batch_size,
                                     regression=args.regression,
                                     all_classes=args.all_classes,
-                                    specific_class=args.specific_class)
+                                    specific_class=args.specific_class,
+                                    class_zero=args.class_zero)
             print(f"Mosaic streamed to {args.output}")
         else:
             from .predict import predict_raster
@@ -177,7 +189,8 @@ def cli(argv=None) -> int:
                                        batch_size=args.batch_size,
                                        regression=args.regression,
                                        all_classes=args.all_classes,
-                                       specific_class=args.specific_class)
+                                       specific_class=args.specific_class,
+                                       class_zero=args.class_zero)
             if arr is None:
                 print(f"Mosaic streamed to {args.output}")
             else:

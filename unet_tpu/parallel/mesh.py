@@ -70,3 +70,57 @@ def pad_to_multiple(batch_size: int, mesh: Mesh) -> int:
     """Smallest batch size ≥ requested that divides evenly over the mesh."""
     n = mesh.devices.size
     return ((batch_size + n - 1) // n) * n
+
+
+def prefetch_to_mesh(iterable, mesh: Mesh, depth: int = 2,
+                     executor=None):
+    """Overlap host→device transfer with compute: double-buffered sharding.
+
+    Wraps an iterator of ``(images, masks, n_valid)`` host batches and
+    yields the same tuples with images/masks already device-put under the
+    batch sharding. ``depth`` transfers are kept in flight on a dedicated
+    thread, so batch N+1's h2d copy rides alongside step N's compute
+    instead of serializing in front of it (the reference's loader is fully
+    synchronous — num_workers=0, train.py:345; round-2 measured the
+    unoverlapped e2e path at step+transfer rather than max(step,
+    transfer)).
+
+    A thread (rather than relying on ``jax.device_put``'s own asynchrony)
+    makes the overlap robust to platforms where the host-side copy blocks —
+    e.g. the axon tunnel. The consumer must finish with the yielded arrays
+    before requesting the next item (the training loop's donated-state data
+    dependency already enforces this).
+    """
+    import concurrent.futures as cf
+    from collections import deque
+
+    own_pool = executor is None
+    pool = executor or cf.ThreadPoolExecutor(max_workers=1,
+                                             thread_name_prefix="h2d")
+    sh = batch_sharding(mesh)
+
+    def put(batch):
+        images, masks, n_valid = batch
+        images = jax.device_put(images, sh)
+        if masks is not None:
+            masks = jax.device_put(masks, sh)
+        return images, masks, n_valid
+
+    it = iter(iterable)
+    inflight: deque = deque()
+    try:
+        for _ in range(max(1, depth)):
+            try:
+                inflight.append(pool.submit(put, next(it)))
+            except StopIteration:
+                break
+        while inflight:
+            fut = inflight.popleft()
+            try:
+                inflight.append(pool.submit(put, next(it)))
+            except StopIteration:
+                pass
+            yield fut.result()
+    finally:
+        if own_pool:
+            pool.shutdown(wait=False)

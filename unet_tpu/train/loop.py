@@ -45,7 +45,7 @@ from ..data import (
 )
 from ..models import build_unet
 from ..models.unet import TPU_OPT_TOPOLOGY_VERSION
-from ..parallel.mesh import make_mesh, replicate_tree, shard_batch
+from ..parallel.mesh import make_mesh, prefetch_to_mesh, replicate_tree
 from . import checkpoint as ckpt
 from . import metrics as M
 from .losses import build_loss, fold_loss_layout
@@ -318,9 +318,8 @@ class Trainer:
         losses: List[Any] = []
         counts: List[int] = []
         key = jax.random.PRNGKey(self.cfg.seed + 7)  # per-call eval stream
-        for images, masks, n_valid in self.valid_loader:
+        for images, masks, n_valid in prefetch_to_mesh(self.valid_loader, self.mesh):
             key, sub = jax.random.split(key)
-            images, masks = shard_batch(self.mesh, images, masks)
             loss, metric_state = eval_step(state, images, masks, n_valid, sub, metric_state)
             losses.append(loss)  # device scalar; fetched once below
             counts.append(n_valid)
@@ -361,10 +360,17 @@ class Trainer:
             if trace_ctx is not None:
                 trace_ctx.__enter__()
             epoch_losses = []
-            for images, masks, _ in self.train_loader:
-                key, sub = jax.random.split(key)
+            # double-buffered h2d: batch N+1's transfer rides alongside step
+            # N's compute (prefetch_to_mesh); the h2d phase now measures only
+            # the residual wait, ≈ max(0, transfer - step) per batch
+            batches = iter(prefetch_to_mesh(self.train_loader, self.mesh))
+            while True:
                 with self.timer.phase("h2d"):
-                    images, masks = shard_batch(self.mesh, images, masks)
+                    nxt = next(batches, None)
+                if nxt is None:
+                    break
+                images, masks, _ = nxt
+                key, sub = jax.random.split(key)
                 with self.timer.phase("train_step"):
                     state, loss = train_step(state, images, masks, sub)
                     # keep the loss on device: fetching it here would force a
@@ -453,11 +459,10 @@ class Trainer:
 
         diverged = False
         while it < num_it and not diverged:
-            for images, masks, _ in self.train_loader:
+            for images, masks, _ in prefetch_to_mesh(self.train_loader, self.mesh):
                 if it >= num_it:
                     break
                 key, sub = jax.random.split(key)
-                images, masks = shard_batch(self.mesh, images, masks)
                 state, loss = train_step(state, images, masks, sub)
                 window.append(loss)
                 it += 1
