@@ -316,7 +316,11 @@ class SelfAttention(nn.Module):
             v = v / jnp.maximum(jnp.linalg.norm(v), self.eps)
             u = v @ kernel
             u = u / jnp.maximum(jnp.linalg.norm(u), self.eps)
-            u_var.value = jax.lax.stop_gradient(u)
+            # torch.nn.utils.spectral_norm detaches BOTH power-iteration
+            # vectors before sigma = u W v — without stopping u's gradient,
+            # sigma picks up extra terms through u's dependence on the kernel
+            u = jax.lax.stop_gradient(u)
+            u_var.value = u
             v = jax.lax.stop_gradient(v)
         else:
             v = kernel @ u

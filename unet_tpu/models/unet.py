@@ -177,7 +177,12 @@ class DynamicUnet(nn.Module):
                 name=f"up_{i}",
             )(y, skip, train)
 
-        if self.tpu_opt and y.shape[1] * 2 == orig.shape[1]:
+        if self.tpu_opt:
+            # the folded stem guarantees the decoder lands at exactly /2
+            # (its divisible-by-4 guard raises otherwise), so the half-res
+            # tail is unconditional under tpu_opt — never a traced-shape
+            # fallback that would change parameter structure
+            assert y.shape[1] * 2 == orig.shape[1], (y.shape, orig.shape)
             # half-res tail: the full-res last_cross ResBlock is ~40% of
             # model FLOPs on 99 lanes (25% MXU padding). Instead: fuse the
             # input LOSSLESSLY via space-to-depth (every pixel reaches the

@@ -70,7 +70,17 @@ class XResNetBody(nn.Module):
         # Stem: ConvLayer(c_in,32,stride2) → (32,32) → (32,64), then maxpool.
         # The reference's "multispectral swap" of body[0][0] (train.py:130-135)
         # is just c_in here.
-        if self.tpu_opt and x.shape[1] % 4 == 0 and x.shape[2] % 4 == 0:
+        if self.tpu_opt and (x.shape[1] % 4 or x.shape[2] % 4):
+            # the folded stem is a STATIC property of the config, never a
+            # traced-shape fallback: silently building the parity stem here
+            # would make parameter structure input-shape-dependent (a bundle
+            # trained at 512 would fail on a 402-wide tile with a raw flax
+            # shape error, and a manifest could stamp tpu_opt topology while
+            # holding parity-stem weights)
+            raise ValueError(
+                f"tpu_opt requires tile height/width divisible by 4, got "
+                f"{x.shape[1]}x{x.shape[2]}; pad the tile or set tpu_opt=False")
+        if self.tpu_opt:
             # k4-s4 conv ≡ a 1×1 conv on space-to-depth(4) input but with the
             # fold fused into the conv's input read — the explicit s2d
             # transpose on the lane-starved (B,H,W,3) layout traced at
