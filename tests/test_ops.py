@@ -197,3 +197,55 @@ class TestShiftBlend:
         with pytest.raises(ValueError, match="spare rows"):
             blend_tiles_shift(jnp.zeros((64, 384), jnp.float32), tiles,
                               np.array([0]), np.array([0]), interpret=True)
+
+
+class TestPallasProbe:
+    """ops/probe.py: central gating for the custom kernels (VERDICT r2 #9)."""
+
+    def test_cpu_platform_probes_false_and_caches(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("UNET_TPU_PROBE_CACHE", str(tmp_path / "probe.json"))
+        import importlib
+
+        from unet_tpu.ops import probe
+
+        importlib.reload(probe)
+        assert probe.scalar_prefetch_dma_supported() is False  # cpu backend
+        assert probe.fused_aug_enabled() is False
+        assert probe.blend_kernel_enabled() is False
+        d = probe.describe()
+        assert d["scalar_prefetch_dma"] is False
+        assert "toolchain" in d
+        # cached on disk, keyed by toolchain
+        import json
+
+        disk = json.loads((tmp_path / "probe.json").read_text())
+        assert disk["scalar_prefetch_dma"] is False
+
+    def test_ab_record_drives_enablement(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("UNET_TPU_PROBE_CACHE", str(tmp_path / "probe.json"))
+        import importlib
+
+        from unet_tpu.ops import probe
+
+        importlib.reload(probe)
+        # simulate a toolchain where the probe passes
+        probe._CACHE = {"toolchain": probe._toolchain_key(),
+                        "scalar_prefetch_dma": True}
+        probe._store(probe._CACHE)
+        assert probe.fused_aug_enabled() is False  # no A/B yet
+        probe.record_kernel_ab("fused_aug", 1.0, 2.0)  # kernel faster
+        assert probe.fused_aug_enabled() is True
+        probe.record_kernel_ab("blend", 3.0, 2.0)  # kernel slower
+        assert probe.blend_kernel_enabled() is False
+
+    def test_env_override_wins(self, tmp_path, monkeypatch):
+        monkeypatch.setenv("UNET_TPU_PROBE_CACHE", str(tmp_path / "probe.json"))
+        monkeypatch.setenv("UNET_TPU_FUSED_AUG", "1")
+        import importlib
+
+        from unet_tpu.ops import probe
+
+        importlib.reload(probe)
+        assert probe.fused_aug_enabled() is True
+        monkeypatch.setenv("UNET_TPU_FUSED_AUG", "0")
+        assert probe.fused_aug_enabled() is False

@@ -276,7 +276,7 @@ def bench_e2e_train(tile: int = 512, batch_size: int = 8, n_tiles: int = 32,
         try:
             state = trainer.init_state()
             train_step, _ = trainer._build_steps(trainer.tx)
-            from .parallel.mesh import shard_batch
+            from .parallel.mesh import prefetch_to_mesh, shard_batch
 
             key = jax.random.PRNGKey(0)
             # warm epoch (compile)
@@ -285,6 +285,8 @@ def bench_e2e_train(tile: int = 512, batch_size: int = 8, n_tiles: int = 32,
                 images, masks = shard_batch(trainer.mesh, images, masks)
                 state, loss = train_step(state, images, masks, sub)
             _sync(loss)
+            # synchronous epoch: each device_put serializes in front of its
+            # step (the reference's num_workers=0 shape, train.py:345)
             t0 = time.perf_counter()
             n_steps = 0
             for images, masks, _ in trainer.train_loader:
@@ -293,14 +295,87 @@ def bench_e2e_train(tile: int = 512, batch_size: int = 8, n_tiles: int = 32,
                 state, loss = train_step(state, images, masks, sub)
                 n_steps += 1
             _sync(loss)
-            dt = time.perf_counter() - t0
+            dt_sync = time.perf_counter() - t0
+            # overlapped epoch — the production Trainer.fit path: batch N+1
+            # transfers while step N computes (prefetch_to_mesh), so the
+            # epoch costs ~max(step, transfer) per batch, not step+transfer
+            t0 = time.perf_counter()
+            for images, masks, _ in prefetch_to_mesh(
+                    trainer.train_loader, trainer.mesh):
+                key, sub = jax.random.split(key)
+                state, loss = train_step(state, images, masks, sub)
+            _sync(loss)
+            dt_overlap = time.perf_counter() - t0
         finally:
             trainer.close()
     return {
-        "e2e_tiles_per_sec": batch_size * n_steps / dt,
+        "e2e_tiles_per_sec": batch_size * n_steps / dt_overlap,
+        "e2e_tiles_per_sec_sync": batch_size * n_steps / dt_sync,
+        "overlap_efficiency": dt_sync / dt_overlap,
         "h2d_mb_per_sec": h2d_mb_s,
         "n_steps": n_steps,
     }
+
+
+def bench_pallas_probe(tile: int = 512) -> dict:
+    """Per-round Pallas gate (ops/probe.py): probe the platform for the
+    known-fragile feature (scalar-prefetch-derived DMA offsets); when it
+    compiles, A/B-time each custom kernel against its XLA fallback and
+    record the verdict — the kernels become production defaults only on a
+    measured win. The returned dict goes into the bench stderr detail so
+    BENCH_NOTES gets an entry every round (no silent dead defaults)."""
+    from .ops import probe
+
+    if probe.scalar_prefetch_dma_supported():
+        rng = np.random.default_rng(0)
+        # fused flip+scale vs the jnp path (permutation-matmul flips)
+        imgs = jnp.asarray(rng.integers(0, 255, (16, tile, tile, 3)).astype(np.float32))
+        msks = jnp.asarray(rng.integers(0, 3, (16, tile, tile)).astype(np.int32))
+        key = jax.random.PRNGKey(0)
+
+        def _ab(use_fused):
+            fn = jax.jit(partial(augment_batch, cfg=AugmentConfig(),
+                                 use_fused=use_fused))
+            out = fn(key, imgs, msks)  # compile
+            _sync(out[0].ravel()[0])
+            lat = _fetch_latency(out[0].ravel()[0])
+            t0 = time.perf_counter()
+            for _ in range(5):
+                out = fn(key, out[0], msks)  # chained: defeats caching
+            _sync(out[0].ravel()[0])
+            return max((time.perf_counter() - t0 - lat) / 5 * 1e3, 1e-6)
+
+        try:
+            probe.record_kernel_ab("fused_aug", _ab(True), _ab(False))
+        except Exception as e:
+            probe.record_kernel_ab("fused_aug", float("inf"), 0.0)
+            print(f"fused_aug A/B failed: {e}", file=__import__("sys").stderr)
+
+        # blocked Pallas blend vs the XLA dynamic-slice scan
+        from .ops.blend import DeviceMosaic
+
+        n, c = 32, 4
+        probs = jnp.asarray(rng.random((n, tile, tile * c), np.float32))
+        rows = rng.integers(0, 2048 - tile, n).astype(np.int32)
+        cols = rng.integers(0, 2048 - tile, n).astype(np.int32)
+
+        def _blend_ms(use_pallas):
+            mos = DeviceMosaic(2048, 2048, c, use_pallas=use_pallas)
+            mos.add_batch(probs, rows, cols)  # compile + alloc
+            _sync(mos.count.ravel()[0])
+            lat = _fetch_latency(mos.count.ravel()[0])
+            t0 = time.perf_counter()
+            for _ in range(5):
+                mos.add_batch(probs, rows, cols)
+            _sync(mos.count.ravel()[0])
+            return max((time.perf_counter() - t0 - lat) / 5 * 1e3, 1e-6)
+
+        try:
+            probe.record_kernel_ab("blend", _blend_ms(True), _blend_ms(False))
+        except Exception as e:
+            probe.record_kernel_ab("blend", float("inf"), 0.0)
+            print(f"blend A/B failed: {e}", file=__import__("sys").stderr)
+    return probe.describe()
 
 
 def run_benchmark(tile: int = 512, batch_size: int = 16, steps: int = 24,
@@ -333,6 +408,23 @@ def run_benchmark(tile: int = 512, batch_size: int = 16, steps: int = 24,
                    for k, v in bench_e2e_train(tile=tile, batch_size=train_res["batch_size"]).items()}
     except Exception as e:
         e2e_res = {"error": str(e)[:120]}
+    try:
+        # subprocess: the CPU-mesh flag must be set before JAX initializes,
+        # and this process already holds the axon TPU backend
+        import subprocess
+
+        out = subprocess.run(
+            [sys.executable, "-m", "unet_tpu.bench_scaling"],
+            capture_output=True, text=True, timeout=1200,
+            env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+        )
+        scaling_res = json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception as e:
+        scaling_res = {"error": str(e)[:120]}
+    try:
+        pallas_res = bench_pallas_probe(tile=tile)
+    except Exception as e:
+        pallas_res = {"error": str(e)[:120]}
     detail = {
         "train": {k: (round(v, 4) if isinstance(v, float) else v)
                   for k, v in train_res.items()},
@@ -342,6 +434,8 @@ def run_benchmark(tile: int = 512, batch_size: int = 16, steps: int = 24,
                     for k, v in pred_res.items()},
         "loader": loader_res,
         "e2e_train": e2e_res,
+        "scaling": scaling_res,
+        "pallas": pallas_res,
         "baseline_note": "vs A100-estimate 100 tiles/s (see docstring); target >= 2.0",
     }
     print(json.dumps(detail), file=sys.stderr)

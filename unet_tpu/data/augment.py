@@ -268,10 +268,14 @@ def augment_batch(
 
     if active and n_aug > 0 and _flips_only(cfg):
         if use_fused is None:
-            # experimental: the fused kernel is correctness-tested (interpret
-            # mode) but the axon Mosaic build crashes compiling it — opt-in
-            # until the lowering issue is resolved (see BENCH_NOTES.md)
-            use_fused = False
+            # gated by the central platform probe (ops/probe.py): on only
+            # when the toolchain compiles scalar-prefetch-derived DMA (the
+            # bisected axon blocker, BENCH_NOTES.md) AND the bench A/B
+            # measured the kernel faster this round — re-probed per
+            # toolchain update, overridable with UNET_TPU_FUSED_AUG=0/1
+            from ..ops.probe import fused_aug_enabled
+
+            use_fused = fused_aug_enabled()
         if use_fused:
             from ..ops.pallas_aug import fused_flip_scale
 

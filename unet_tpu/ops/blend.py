@@ -431,11 +431,15 @@ class DeviceMosaic:
         # (blend_tiles_blocked) is verified correct on real TPU hardware,
         # but its 4× quadrant-contribution amplification makes it ~2×
         # slower than the scan (measured 29.6 vs 14.2 ms for 32×512² tiles,
-        # BENCH_NOTES.md) — ship it opt-in until a shift-in-kernel variant
-        # lands. The in-body scalar-DMA variant (blend_tiles) is rejected
-        # by this platform's Mosaic for unaligned lane slices (C=4).
+        # BENCH_NOTES.md). The in-body scalar-DMA variant (blend_tiles) is
+        # rejected by this platform's Mosaic for unaligned lane slices
+        # (C=4). Gating is central (ops/probe.py): the kernel becomes the
+        # default only when the platform probe passes AND the per-round
+        # bench A/B measures it faster; UNET_TPU_PALLAS_BLEND=0/1 forces.
         if use_pallas is None:
-            use_pallas = False
+            from .probe import blend_kernel_enabled
+
+            use_pallas = blend_kernel_enabled()
         self.use_pallas = use_pallas
 
     def _ensure_buf(self, th: int, tw: int) -> None:
