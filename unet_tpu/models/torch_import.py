@@ -103,29 +103,49 @@ def load_encoder(
 
     enc_params, enc_stats = convert_xresnet_state_dict(sd, arch)
     new_vars = jax.tree_util.tree_map(lambda x: x, variables)  # shallow copy
+    return _graft_encoder(new_vars, enc_params, enc_stats)
+
+
+def _graft_encoder(new_vars: Dict[str, Any], enc_params: Dict[str, Any],
+                   enc_stats: Dict[str, Any]) -> Dict[str, Any]:
     tgt_p = new_vars["params"]["encoder"]
     tgt_s = new_vars["batch_stats"]["encoder"]
-
+    skipped = []
     for name, block in enc_params.items():
-        # stem_0's conv may mismatch on input channels (multispectral swap):
-        # skip just that kernel, graft everything else strictly
-        _graft(tgt_p[name], block, allow_stem_mismatch=(name == "stem_0"))
-        _graft(tgt_s[name], enc_stats[name], allow_stem_mismatch=False)
+        # Stem layers may legitimately mismatch and keep their fresh init:
+        # stem_0 on input-channel count (the reference's multispectral swap,
+        # train.py:130-135), and the whole stem when the target uses the
+        # tpu_opt FOLDED stem (128/128/256-wide k4-s4 — a different
+        # parameter shape by design; pretrained residual stages still
+        # graft). Everything else grafts strictly.
+        lenient = name.startswith("stem_")
+        n_skip = _graft(tgt_p[name], block, allow_mismatch=lenient)
+        n_skip += _graft(tgt_s[name], enc_stats[name], allow_mismatch=lenient)
+        if n_skip:
+            skipped.append(name)
+    if skipped:
+        print(f"pretrained: kept fresh init for mismatched stem layers "
+              f"{skipped} (multispectral swap / tpu_opt folded stem); "
+              "residual stages grafted")
     return new_vars
 
 
-def _graft(target: Dict, source: Dict, allow_stem_mismatch: bool) -> None:
+def _graft(target: Dict, source: Dict, allow_mismatch: bool) -> int:
+    """Copy matching leaves; returns the number skipped (0 when strict)."""
+    skipped = 0
     for k, v in source.items():
         if isinstance(v, dict):
-            _graft(target[k], v, allow_stem_mismatch)
+            skipped += _graft(target[k], v, allow_mismatch)
         else:
             if np.shape(target[k]) != np.shape(v):
-                if allow_stem_mismatch:
+                if allow_mismatch:
+                    skipped += 1
                     continue
                 raise ValueError(
                     f"Shape mismatch for {k}: {np.shape(target[k])} vs {np.shape(v)}"
                 )
             target[k] = np.asarray(v, dtype=np.asarray(target[k]).dtype)
+    return skipped
 
 
 # --- converted-archive format (.npz) -----------------------------------------
@@ -190,12 +210,7 @@ def load_encoder_any(variables: Dict[str, Any], path: str,
             raise ValueError(
                 f"Converted weights are for {saved_arch}, model is {arch}")
         new_vars = jax.tree_util.tree_map(lambda x: x, variables)
-        tgt_p = new_vars["params"]["encoder"]
-        tgt_s = new_vars["batch_stats"]["encoder"]
-        for name, block in enc_params.items():
-            _graft(tgt_p[name], block, allow_stem_mismatch=(name == "stem_0"))
-            _graft(tgt_s[name], enc_stats[name], allow_stem_mismatch=False)
-        return new_vars
+        return _graft_encoder(new_vars, enc_params, enc_stats)
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
