@@ -1,0 +1,205 @@
+"""Baseline JPEG decoder (geo/jpeg.py) + JPEG-in-TIFF integration.
+
+PIL (libjpeg) is the cross-validation oracle: our decoder must match its
+output within IDCT rounding (±3 levels, mean < 1). The TIFF container
+tests hand-assemble compression-7 files (PIL provides only the JPEG
+streams) including the JPEGTables split — the shapes GDAL-written aerial
+orthophotos use.
+"""
+
+import io
+import struct
+
+import numpy as np
+import pytest
+
+PIL = pytest.importorskip("PIL.Image")
+
+from unet_tpu.geo import jpeg as jpeg_codec
+from unet_tpu.geo import tiff
+
+
+def _pil_jpeg_bytes(arr, **kw):
+    im = PIL.fromarray(arr)
+    buf = io.BytesIO()
+    im.save(buf, format="JPEG", **kw)
+    return buf.getvalue()
+
+
+def _pil_decode(data):
+    return np.asarray(PIL.open(io.BytesIO(data)).convert("RGB"))
+
+
+def _gradient_scene(h=96, w=112, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = np.stack([
+        (yy * 255 / h), (xx * 255 / w), ((yy + xx) * 255 / (h + w))
+    ], axis=-1)
+    noise = rng.normal(0, 8, (h, w, 3))
+    return np.clip(base + noise, 0, 255).astype(np.uint8)
+
+
+class TestBaselineDecoder:
+    @pytest.mark.parametrize("subsampling", [0, 1, 2])  # 4:4:4, 4:2:2, 4:2:0
+    def test_matches_pil_color(self, subsampling):
+        arr = _gradient_scene()
+        data = _pil_jpeg_bytes(arr, quality=92, subsampling=subsampling)
+        want = _pil_decode(data).astype(np.int16)
+        got = jpeg_codec.decode(data).astype(np.int16)
+        assert got.shape == want.shape
+        diff = np.abs(got - want)
+        assert diff.max() <= 3, diff.max()
+        assert diff.mean() < 1.0, diff.mean()
+
+    def test_matches_pil_grayscale(self):
+        arr = _gradient_scene()[:, :, 0]
+        data = _pil_jpeg_bytes(arr, quality=90)
+        want = np.asarray(PIL.open(io.BytesIO(data))).astype(np.int16)
+        got = jpeg_codec.decode(data)[:, :, 0].astype(np.int16)
+        assert np.abs(got - want).max() <= 3
+
+    def test_restart_markers(self):
+        arr = _gradient_scene(64, 80, seed=3)
+        try:
+            data = _pil_jpeg_bytes(arr, quality=90, restart_marker_blocks=4)
+        except (TypeError, OSError):
+            pytest.skip("PIL build lacks restart-marker control")
+        assert b"\xff\xdd" in data  # DRI present
+        want = _pil_decode(data).astype(np.int16)
+        got = jpeg_codec.decode(data).astype(np.int16)
+        assert np.abs(got - want).max() <= 3
+
+    def test_progressive_raises_clearly(self):
+        arr = _gradient_scene()
+        data = _pil_jpeg_bytes(arr, quality=90, progressive=True)
+        with pytest.raises(ValueError, match="progressive"):
+            jpeg_codec.decode(data)
+
+
+def _split_tables(stream):
+    """Split a JPEG stream into (abbreviated tables stream, scan stream) —
+    the TIFF JPEGTables layout (tag 347)."""
+    tables = bytearray(b"\xff\xd8")
+    rest = bytearray(b"\xff\xd8")
+    pos = 2
+    n = len(stream)
+    while pos + 4 <= n:
+        assert stream[pos] == 0xFF
+        marker = stream[pos + 1]
+        if marker == 0xD9:
+            break
+        (seglen,) = struct.unpack(">H", stream[pos + 2 : pos + 4])
+        seg = stream[pos : pos + 2 + seglen]
+        if marker in (0xDB, 0xC4, 0xDD):  # DQT/DHT/DRI → tables
+            tables += seg
+        else:
+            rest += seg
+        if marker == 0xDA:  # SOS: rest of stream is entropy data
+            rest += stream[pos + 2 + seglen :]
+            break
+        pos += 2 + seglen
+    tables += b"\xff\xd9"
+    return bytes(tables), bytes(rest)
+
+
+def _make_jpeg_tiff(path, arr, strips_rows=None, use_tables=False):
+    """Hand-assemble a compression-7 TIFF: PIL encodes each strip's JPEG
+    stream; optionally split shared tables into tag 347."""
+    h, w, c = arr.shape
+    rows = strips_rows or h
+    streams = []
+    for y0 in range(0, h, rows):
+        streams.append(_pil_jpeg_bytes(arr[y0 : y0 + rows], quality=95,
+                                       subsampling=0))
+    tables = None
+    if use_tables:
+        split = [_split_tables(s) for s in streams]
+        tables = split[0][0]
+        streams = [s[1] for s in split]
+
+    entries = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 3, None), (259, 3, 1, 7),
+        (262, 3, 1, 6),  # YCbCr
+        (273, 4, len(streams), None), (277, 3, 1, c), (278, 4, 1, rows),
+        (279, 4, len(streams), None),
+    ]
+    if tables:
+        entries.append((347, 7, len(tables), None))
+    entries.sort()
+    n_e = len(entries)
+    ifd_off = 8
+    overflow_pos = ifd_off + 2 + n_e * 12 + 4
+    overflow = bytearray()
+    resolved = []
+    for tag, ft, cnt, val in entries:
+        if tag == 258:
+            resolved.append((tag, ft, 3, overflow_pos + len(overflow)))
+            overflow += struct.pack("<HHH", 8, 8, 8)
+        elif tag == 273:
+            off_pos = overflow_pos + len(overflow)
+            overflow += b"\x00" * (4 * len(streams))
+            resolved.append((tag, ft, cnt, off_pos))
+        elif tag == 279:
+            cnt_pos = overflow_pos + len(overflow)
+            overflow += struct.pack("<" + "I" * len(streams),
+                                    *[len(s) for s in streams])
+            resolved.append((tag, ft, cnt, cnt_pos))
+        elif tag == 347:
+            tb_pos = overflow_pos + len(overflow)
+            overflow += tables
+            if len(overflow) & 1:
+                overflow += b"\x00"
+            resolved.append((tag, ft, cnt, tb_pos))
+        else:
+            resolved.append((tag, ft, cnt, val))
+    data_off = overflow_pos + len(overflow)
+    offs, pos = [], data_off
+    for s in streams:
+        offs.append(pos)
+        pos += len(s)
+    overflow[off_pos - overflow_pos : off_pos - overflow_pos + 4 * len(streams)] = \
+        struct.pack("<" + "I" * len(streams), *offs)
+    # single-count entries keep value inline; multi/overflow use offsets
+    body = struct.pack("<2sHI", b"II", 42, ifd_off) + struct.pack("<H", n_e)
+    for tag, ft, cnt, val in resolved:
+        body += struct.pack("<HHII", tag, ft, cnt, val)
+    body += struct.pack("<I", 0)
+    path.write_bytes(body + bytes(overflow) + b"".join(streams))
+
+
+class TestJpegInTiff:
+    def test_two_strips(self, tmp_path):
+        # (the hand-assembler writes offset/count arrays out-of-line, which
+        # classic TIFF only does for >1 value — keep >= 2 strips)
+        arr = _gradient_scene(64, 80, seed=1)
+        p = tmp_path / "j.tif"
+        _make_jpeg_tiff(p, arr, strips_rows=32)
+        got, info = tiff.read(str(p))
+        assert info.bands == 3 and got.shape == (3, 64, 80)
+        want = np.concatenate([
+            _pil_decode(_pil_jpeg_bytes(arr[y : y + 32], quality=95, subsampling=0))
+            for y in range(0, 64, 32)], axis=0)
+        diff = np.abs(got.astype(np.int16) - np.moveaxis(want, 2, 0).astype(np.int16))
+        assert diff.max() <= 3
+
+    def test_multi_strip_with_jpegtables(self, tmp_path):
+        arr = _gradient_scene(64, 80, seed=2)
+        p = tmp_path / "jt.tif"
+        _make_jpeg_tiff(p, arr, strips_rows=16, use_tables=True)
+        got, info = tiff.read(str(p))
+        assert got.shape == (3, 64, 80)
+        # reconstruct expectation strip-by-strip through PIL
+        want = np.concatenate([
+            _pil_decode(_pil_jpeg_bytes(arr[y : y + 16], quality=95, subsampling=0))
+            for y in range(0, 64, 16)], axis=0)
+        diff = np.abs(got.astype(np.int16) - np.moveaxis(want, 2, 0).astype(np.int16))
+        assert diff.max() <= 3
+
+    def test_windowed_read(self, tmp_path):
+        arr = _gradient_scene(64, 80, seed=4)
+        p = tmp_path / "jw.tif"
+        _make_jpeg_tiff(p, arr, strips_rows=16)
+        full, _ = tiff.read(str(p))
+        win, _ = tiff.read_window(str(p), 20, 44, 5, 70)
+        np.testing.assert_array_equal(win, full[:, 20:44, 5:70])

@@ -17,8 +17,10 @@ imagery needs:
 * GeoTIFF georeferencing: ModelPixelScaleTag + ModelTiepointTag (33550/33922)
   or ModelTransformationTag (34264), GeoKeyDirectory (34735) with EPSG codes,
   GeoAsciiParams (34737), GDAL_NODATA (42113)
-* anything else (e.g. JPEG-in-TIFF) falls back to PIL when available;
-  otherwise the error names the unsupported feature
+* new-style JPEG (compression 7, baseline sequential, JPEGTables tag) via
+  the dependency-free decoder in ``geo/jpeg.py``; progressive/arithmetic
+  JPEG and anything else falls back to PIL when available, otherwise the
+  error names the unsupported feature
 
 Geotransforms use the GDAL 6-tuple convention
 ``(ulx, xres, xrot, uly, yrot, yres)`` so tiling / mosaic math matches the
@@ -58,6 +60,7 @@ TAG_MODEL_TRANSFORMATION = 34264
 TAG_GEO_KEY_DIRECTORY = 34735
 TAG_GEO_DOUBLE_PARAMS = 34736
 TAG_GEO_ASCII_PARAMS = 34737
+TAG_JPEG_TABLES = 347
 TAG_GDAL_METADATA = 42112
 TAG_GDAL_NODATA = 42113
 
@@ -588,7 +591,9 @@ def read(path: str) -> Tuple[np.ndarray, TiffInfo]:
         else:
             chw = _read_striped(data, tags, info, compression, predictor, dt, planar)
     except ValueError as e:
-        if "Unsupported TIFF compression" in str(e):
+        # baseline JPEG decodes natively (geo/jpeg.py); progressive/
+        # arithmetic JPEG and unknown codecs fall back to PIL if importable
+        if "Unsupported TIFF compression" in str(e) or "JPEG" in str(e):
             return _pil_fallback_read(path, info, str(e)), info
         raise
     return np.ascontiguousarray(chw.astype(native, copy=False)), info
@@ -605,6 +610,33 @@ def _decode_segment(raw: bytes, rows: int, width: int, channels: int,
     return _unpredict(arr, predictor, dt)
 
 
+def _decode_chunk(chunk: bytes, compression: int, rows: int, width: int,
+                  channels: int, predictor: int, dt: np.dtype,
+                  tags: Dict[int, object]) -> np.ndarray:
+    """Decompress + decode one strip/tile. New-style JPEG (compression 7)
+    decodes through the dependency-free baseline decoder (geo/jpeg.py) —
+    each segment is a JPEG stream, shared tables ride the JPEGTables tag
+    (347), and PhotometricInterpretation decides the YCbCr transform (the
+    reference gets this from libgdal→libjpeg, utils.py:39-48)."""
+    if compression == COMP_JPEG:
+        from . import jpeg as jpeg_codec
+
+        tables = tags.get(TAG_JPEG_TABLES)
+        photometric = int(tags.get(TAG_PHOTOMETRIC, 1))
+        arr = jpeg_codec.decode(
+            bytes(chunk),
+            tables=bytes(tables) if isinstance(tables, (bytes, bytearray)) else None,
+            color_transform=(photometric == 6) if photometric in (2, 6) else None,
+        )
+        if arr.shape[2] < channels:
+            raise ValueError(
+                f"JPEG segment has {arr.shape[2]} components, expected {channels}")
+        return arr[:rows, :width, :channels].astype(dt.newbyteorder("="))
+    itemsize = dt.itemsize
+    raw = _decompress(chunk, compression, rows * width * channels * itemsize)
+    return _decode_segment(raw, rows, width, channels, predictor, dt)
+
+
 def _read_striped(data, tags, info, compression, predictor, dt, planar) -> np.ndarray:
     offsets = _as_list(tags[TAG_STRIP_OFFSETS])
     counts = _as_list(tags[TAG_STRIP_BYTE_COUNTS])
@@ -616,9 +648,8 @@ def _read_striped(data, tags, info, compression, predictor, dt, planar) -> np.nd
     def strip(plane_idx: int, s: int, channels: int) -> np.ndarray:
         rows = min(rps, h - s * rps)
         i = plane_idx * strips_per_plane + s
-        raw = _decompress(data[offsets[i] : offsets[i] + counts[i]], compression,
-                          rows * w * channels * itemsize)
-        return _decode_segment(raw, rows, w, channels, predictor, dt)
+        return _decode_chunk(data[offsets[i] : offsets[i] + counts[i]],
+                             compression, rows, w, channels, predictor, dt, tags)
 
     if planar == 1:
         hwc = np.concatenate([strip(0, s, c) for s in range(strips_per_plane)], axis=0)
@@ -647,9 +678,9 @@ def _read_tiled(data, tags, info, compression, predictor, dt, planar) -> np.ndar
         for ty in range(tiles_down):
             for tx in range(tiles_across):
                 i = plane_idx * per_plane + ty * tiles_across + tx
-                raw = _decompress(data[offsets[i] : offsets[i] + counts[i]],
-                                  compression, tl * tw * channels * itemsize)
-                seg = _decode_segment(raw, tl, tw, channels, predictor, dt)
+                seg = _decode_chunk(data[offsets[i] : offsets[i] + counts[i]],
+                                    compression, tl, tw, channels, predictor,
+                                    dt, tags)
                 canvas[ty * tl : (ty + 1) * tl, tx * tw : (tx + 1) * tw] = seg
         return canvas[:h, :w]
 
@@ -1016,9 +1047,9 @@ def read_window(path: str, row0: int, row1: int,
                     i = plane_idx * per_plane + ty * tiles_across + tx
                     seg = seg_cache.get(i)
                     if seg is None:
-                        raw = _decompress(fetch(offsets[i], counts[i]),
-                                          compression, tl * tw * channels * itemsize)
-                        seg = _decode_segment(raw, tl, tw, channels, predictor, dt)
+                        seg = _decode_chunk(fetch(offsets[i], counts[i]),
+                                            compression, tl, tw, channels,
+                                            predictor, dt, tags)
                         seg_cache[i] = seg
                     ry0, ry1 = max(row0, ty * tl), min(row1, (ty + 1) * tl)
                     rx0, rx1 = max(col0, tx * tw), min(col1, (tx + 1) * tw)
@@ -1045,9 +1076,9 @@ def read_window(path: str, row0: int, row1: int,
             i = plane_idx * strips_per_plane + s
             seg = seg_cache.get(i)
             if seg is None:
-                raw = _decompress(fetch(offsets[i], counts[i]),
-                                  compression, rows * w * channels * itemsize)
-                seg = _decode_segment(raw, rows, w, channels, predictor, dt)
+                seg = _decode_chunk(fetch(offsets[i], counts[i]),
+                                    compression, rows, w, channels,
+                                    predictor, dt, tags)
                 seg_cache[i] = seg
             ry0, ry1 = max(row0, s * rps), min(row1, s * rps + rows)
             out[ry0 - row0: ry1 - row0, :, dst_c0: dst_c0 + channels] = \
