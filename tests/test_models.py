@@ -194,3 +194,38 @@ class TestDeepVariant:
         v = u.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)), train=False)
         y = u.apply(v, jnp.zeros((1, 128, 128, 3)), train=False)
         assert y.shape == (1, 128, 128, 2)
+
+
+class TestShuffleConvEquivalence:
+    """PixelShuffleICNR's transposed-conv compute must be bit-equal to the
+    conv1x1+pixel_shuffle formulation it replaced (same parameters, no 6-D
+    transpose — the parity topology's largest non-FLOP cost)."""
+
+    def test_matches_conv_plus_shuffle(self):
+        from unet_tpu.models.layers import _ShuffleConv, pixel_shuffle
+
+        rng = np.random.default_rng(0)
+        ni, nf = 7, 5
+        x = jnp.asarray(rng.normal(size=(2, 6, 8, ni)).astype(np.float32))
+        m = _ShuffleConv(nf * 4, dtype=jnp.float32)
+        k = jnp.asarray(rng.normal(size=(1, 1, ni, nf * 4)).astype(np.float32))
+        b = jnp.asarray(rng.normal(size=(nf * 4,)).astype(np.float32))
+        got = m.apply({"params": {"kernel": k, "bias": b}}, x)
+        ref = jnp.einsum("bhwc,co->bhwo", x, k[0, 0]) + b
+        ref = pixel_shuffle(ref, 2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=0, atol=1e-6)
+
+    def test_param_tree_unchanged(self):
+        """Round-2 bundles must keep loading: shuf/conv/{kernel,bias} with
+        the (1,1,ni,4nf) ICNR shape."""
+        from unet_tpu.models.layers import PixelShuffleICNR
+
+        m = PixelShuffleICNR(8, dtype=jnp.float32)
+        vs = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 4, 4, 16)))
+        assert set(vs["params"]) == {"conv"}
+        assert vs["params"]["conv"]["kernel"].shape == (1, 1, 16, 32)
+        assert vs["params"]["conv"]["bias"].shape == (32,)
+        # ICNR property: the 4 phase sub-kernels start identical
+        kk = np.asarray(vs["params"]["conv"]["kernel"]).reshape(16, 8, 4)
+        assert np.allclose(kk - kk[:, :, :1], 0)

@@ -208,11 +208,52 @@ def replication_blur(x: jax.Array) -> jax.Array:
     return nn.avg_pool(x, (2, 2), strides=(1, 1))
 
 
+class _ShuffleConv(nn.Module):
+    """The PixelShuffleICNR compute: holds the ORIGINAL (1,1,ni,4nf) conv
+    parameters (tree-compatible with round-2 bundles) but evaluates
+    conv1x1+PixelShuffle as one k2-s2 transposed conv — tap (dy,dx) of the
+    reshaped kernel IS shuffle phase (dy,dx), so the spatial interleave
+    happens in the conv's output write instead of a materialized 6-D
+    transpose (the parity topology's largest non-FLOP cost: pixel-shuffle
+    transposes measured ~8 ms/step of pure copies at bs16·512²,
+    BENCH_NOTES.md). The per-phase conv bias becomes a (2,2,nf) pattern
+    added through free reshapes. Bit-equal to the shuffle formulation
+    (verified in tests/test_models.py)."""
+
+    nf4: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        ni = x.shape[-1]
+        kernel = self.param("kernel", icnr_init(), (1, 1, ni, self.nf4),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.nf4,),
+                          jnp.float32)
+        nf = self.nf4 // 4
+        # channel o = f·4 + dy·2 + dx (pixel_shuffle order) → taps [dy,dx];
+        # lax.conv_transpose(transpose_kernel=False) mirrors the taps, so
+        # phase (dy,dx) sits at kernel position (1-dy, 1-dx) — verified
+        # bit-exact vs conv1x1+pixel_shuffle in tests/test_models.py
+        kt = kernel.reshape(ni, nf, 2, 2).transpose(2, 3, 0, 1)[::-1, ::-1]
+        y = jax.lax.conv_transpose(
+            x.astype(self.dtype), kt.astype(self.dtype), strides=(2, 2),
+            padding="VALID", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        b, h2, w2, _ = y.shape
+        bp = bias.reshape(nf, 2, 2).transpose(1, 2, 0).astype(y.dtype)
+        y = (y.reshape(b, h2 // 2, 2, w2 // 2, 2, nf)
+             + bp[None, None, :, None, :, :]).reshape(b, h2, w2, nf)
+        return y
+
+
 class PixelShuffleICNR(nn.Module):
     """1x1 conv (ICNR init) → PixelShuffle(2) → [blur].
 
     fastai PixelShuffle_ICNR with the reference's effective config: no norm
-    on the conv (NormType class quirk), zero-init bias, ReLU act.
+    on the conv (NormType class quirk), zero-init bias, ReLU act. The
+    compute rides the transposed-conv formulation (``_ShuffleConv``) with
+    the original parameter shapes; ReLU commutes with the shuffle
+    permutation so applying it after is the same function.
     """
 
     nf: int
@@ -221,18 +262,8 @@ class PixelShuffleICNR(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = nn.Conv(
-            self.nf * 4,
-            (1, 1),
-            use_bias=True,
-            kernel_init=icnr_init(),
-            bias_init=nn.initializers.zeros,
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="conv",
-        )(x)
+        x = _ShuffleConv(self.nf * 4, dtype=self.dtype, name="conv")(x)
         x = nn.relu(x)
-        x = pixel_shuffle(x, 2)
         if self.blur:
             x = replication_blur(x)
         return x
