@@ -286,3 +286,21 @@ class TestFoldedLossLayout:
         lg, tf = fold_loss_layout(folded, t)
         np.testing.assert_allclose(float(cross_entropy(full, t)),
                                    float(cross_entropy(lg, tf)), rtol=1e-6)
+
+
+def test_fold_loss_layout_regression_mse_exact():
+    """Regression under tpu_opt: MSE on the folded layout must equal the
+    full-resolution value (same permutation argument as CE/focal — this
+    covers the n_out=1 channel ordering the breadth regression gate runs)."""
+    from unet_tpu.models.layers import pixel_shuffle
+    from unet_tpu.train.losses import fold_loss_layout, mse_loss
+
+    rng = np.random.default_rng(9)
+    b, h, w = 2, 8, 8
+    folded = rng.standard_normal((b, h // 2, w // 2, 4)).astype(np.float32)
+    full = pixel_shuffle(jnp.asarray(folded), 2)  # (b, h, w, 1)
+    targets = jnp.asarray(rng.standard_normal((b, h, w)).astype(np.float32))
+    lg, tf = fold_loss_layout(jnp.asarray(folded), targets)
+    want = float(mse_loss(full[..., 0], targets))
+    got = float(mse_loss(lg[..., 0], tf))
+    np.testing.assert_allclose(got, want, rtol=1e-6)

@@ -46,6 +46,8 @@ def trained_bundle(scene):
         batch_size=4, epochs=6, lr=5e-3, arch="xresnet18",
         codes=["nodata", "dark", "bright"], bf16=False, seed=0,
         visualize_data_example=False, export_model_summary=True,
+        tpu_opt=False,  # reference-parity topology e2e (tpu_opt — the
+        # default — is covered by TestTpuOptQuality below)
     )
     bundle = train_model(cfg)
     return root, ip, bundle, base

@@ -51,8 +51,11 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--lr-finder", default=None)
     tr.add_argument("--pretrained-weights", default=None,
                     help="torch .pth or converted .npz (see import-weights)")
-    tr.add_argument("--tpu-opt", action="store_true",
-                    help="TPU-optimized topology (s2d stem, half-res tail)")
+    tr.add_argument("--tpu-opt", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="TPU-optimized topology (s2d stem, slim decoder, "
+                         "half-res tail) — the default; --no-tpu-opt selects "
+                         "the reference-shaped parity topology")
     tr.add_argument("--seed", type=int, default=0)
     tr.add_argument("--reference-quirks", action="store_true")
     tr.add_argument("--profile-dir", default=None,

@@ -90,7 +90,7 @@ class Params:
     # TPU-native knobs (no reference equivalent)
     normalize: str = "reference"
     reference_quirks: bool = False
-    tpu_opt: bool = False  # space-to-depth stem + half-res tail
+    tpu_opt: bool = True  # TPU-optimized topology (default; see TrainerConfig)
     bf16: bool = True
     seed: int = 0
     predict_batch_size: int = 16

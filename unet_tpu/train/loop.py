@@ -94,7 +94,14 @@ class TrainerConfig:
     # TPU-native knobs
     normalize: str = "reference"
     reference_quirks: bool = False
-    tpu_opt: bool = False  # space-to-depth stem + half-res tail (models/unet.py)
+    # The TPU-optimized topology (space-to-depth stem, conv-transpose
+    # upsampling, slim 128-lane decoder, half-res tail — models/unet.py) is
+    # the DEFAULT: 2.4x the training throughput of the reference-shaped
+    # decoder at quality parity on the aerial fixture (multi-seed gates in
+    # tests/test_quality_parity.py). tpu_opt=False selects the topology
+    # whose parameter structure mirrors fastai DynamicUnet exactly (needed
+    # for bit-faithful comparisons and pretrained-stem grafting).
+    tpu_opt: bool = True
     bf16: bool = True
     seed: int = 0
     loader_threads: int = 8
@@ -135,6 +142,23 @@ def _fmt_time(seconds: float) -> str:
 
 class Trainer:
     def __init__(self, cfg: TrainerConfig):
+        if cfg.existing_model:
+            # transfer learning: the bundle defines the architecture (the
+            # reference's load_learner keeps the pickled model, train.py:225)
+            # — adopt its topology fields so cfg defaults can't mismatch the
+            # loaded parameter structure
+            _, mpath, _ = ckpt.bundle_paths(cfg.existing_model)
+            m = ckpt.load_manifest(mpath)
+            adopted = {}
+            for field_name, key in (("arch", "ARCHITECTURE"),
+                                    ("tpu_opt", "tpu_opt"),
+                                    ("self_attention", "self_attention")):
+                v = m.get(key)
+                if v is not None and getattr(cfg, field_name) != v:
+                    adopted[field_name] = v
+            if adopted:
+                print(f"existing_model: adopting bundle topology {adopted}")
+                cfg = replace(cfg, **adopted)
         self.cfg = cfg
         self.data_path = Path(cfg.data_path)
         self.dataset = TileDataset(self.data_path, valid_scenes=cfg.valid_scenes,
@@ -165,6 +189,17 @@ class Trainer:
         self.c_in = sample_img.shape[0]
         self.tile_hw = sample_img.shape[1:]
         self.n_out = 1 if cfg.regression else len(cfg.codes)
+
+        if cfg.tpu_opt and (self.tile_hw[0] % 4 or self.tile_hw[1] % 4):
+            # CONFIG-level fallback (decided here, before the model is
+            # built, so the manifest stamps the topology actually trained —
+            # never a traced-shape branch inside the model, which raises)
+            print(f"Tile size {self.tile_hw} not divisible by 4: tpu_opt "
+                  "topology unavailable — using the parity topology "
+                  "(tpu_opt=False). Pad tiles to a multiple of 4 to use the "
+                  "TPU-optimized decoder.")
+            cfg = replace(cfg, tpu_opt=False)
+            self.cfg = cfg
 
         self.model = build_unet(
             arch=cfg.arch, n_out=self.n_out, c_in=self.c_in,
