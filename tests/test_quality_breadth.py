@@ -33,7 +33,7 @@ TILE = 64
 CODES = ["nodata", "ground", "trees", "buildings", "water"]
 
 # recorded (see PARITY.md §Quality-breadth) − margin
-XR50_DICE_FLOOR = 0.62   # recorded .9448 @8ep / .83 by ep2; CI runs 4ep
+XR50_DICE_FLOOR = 0.85   # recorded .9290 @4ep (.9448 @8ep)
 REGRESSION_R2_FLOOR = 0.80
 SA_DICE_FLOOR = 0.90     # recorded .9652 @8ep
 
