@@ -34,6 +34,81 @@ def torch_pad(ks: int) -> Sequence[Tuple[int, int]]:
     return ((p, p), (p, p))
 
 
+class FusedStatsBatchNorm(nn.Module):
+    """Drop-in nn.BatchNorm (same param/stat names: scale/bias, mean/var)
+    whose training statistics come from ONE variadic ``lax.reduce`` over
+    (x, x²) instead of two separate mean reductions.
+
+    Motivation: the round-2 op-level trace attributed ~17.7 ms/step to
+    BN-stat reduces (92 ops at HBM cost, BENCH_NOTES.md); a multi-output
+    single-pass reduce halves the input traffic XLA cannot always fuse
+    away. Numerics follow flax's fast-variance path (fp32 stats,
+    var = E[x²] − E[x]², same normalize order) — equivalence pinned in
+    tests. Experimental: selected via ``UNET_TPU_BN=fused`` and A/B'd on
+    the real chip before becoming a default (same contract as
+    ops/probe.py kernels).
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    scale_init: Callable = nn.initializers.ones
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", self.scale_init, (c,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            x32 = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            n = x.size // c
+            s, s2 = jax.lax.reduce(
+                (x32, x32 * x32),
+                (jnp.float32(0), jnp.float32(0)),
+                lambda a, b: (a[0] + b[0], a[1] + b[1]),
+                axes,
+            )
+            mean = s / n
+            var = jnp.maximum(s2 / n - mean * mean, 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        d = self.dtype
+        y = x.astype(d) - mean.astype(d)
+        mul = jax.lax.rsqrt(var.astype(d) + jnp.asarray(self.epsilon, d))
+        mul = mul * scale.astype(d)
+        return y * mul + bias.astype(d)
+
+
+def batch_norm(train: bool, momentum: float = 0.9, epsilon: float = 1e-5,
+               dtype: Dtype = jnp.bfloat16,
+               scale_init: Callable = nn.initializers.ones,
+               name: str = "bn"):
+    """BatchNorm factory: flax's implementation by default,
+    FusedStatsBatchNorm under ``UNET_TPU_BN=fused`` (parameter trees are
+    identical either way, so bundles stay loadable across the switch)."""
+    import os
+
+    if os.environ.get("UNET_TPU_BN") == "fused":
+        return FusedStatsBatchNorm(
+            use_running_average=not train, momentum=momentum,
+            epsilon=epsilon, dtype=dtype, scale_init=scale_init, name=name)
+    return nn.BatchNorm(
+        use_running_average=not train, momentum=momentum, epsilon=epsilon,
+        dtype=dtype, param_dtype=jnp.float32, scale_init=scale_init,
+        name=name)
+
+
 class ConvLayer(nn.Module):
     """conv → [BatchNorm] → [ReLU], matching fastai ConvLayer semantics.
 
@@ -68,19 +143,12 @@ class ConvLayer(nn.Module):
         )(x)
         if self.norm is not None:
             scale_init = nn.initializers.zeros if self.norm == "batchzero" else nn.initializers.ones
-            # dtype=self.dtype keeps activations in bf16 end-to-end (flax
-            # BatchNorm promotes to fp32 internally for the mean/var math,
-            # so statistics stay accurate); fp32 intermediates here would
-            # double HBM traffic on every encoder layer
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,
-                epsilon=1e-5,
-                dtype=self.dtype,
-                param_dtype=jnp.float32,
-                scale_init=scale_init,
-                name="bn",
-            )(x)
+            # dtype=self.dtype keeps activations in bf16 end-to-end (the
+            # mean/var math runs in fp32 internally, so statistics stay
+            # accurate); fp32 intermediates here would double HBM traffic
+            # on every encoder layer
+            x = batch_norm(train, dtype=self.dtype, scale_init=scale_init,
+                           name="bn")(x)
         if self.act:
             x = nn.relu(x)
         return x

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import (ConvLayer, ConvTransposeUp, PixelShuffleICNR, ResBlock,
-                     SelfAttention, pixel_shuffle, space_to_depth)
+                     SelfAttention, batch_norm, pixel_shuffle, space_to_depth)
 from .xresnet import ARCHS, XResNetBody
 
 
@@ -74,10 +74,8 @@ class UnetBlock(nn.Module):
             up_out = jax.image.resize(
                 up_out, (up_out.shape[0], *skip.shape[1:3], up_out.shape[-1]), method="nearest"
             )
-        s = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, param_dtype=jnp.float32, name="bn",
-        )(skip.astype(self.dtype))
+        s = batch_norm(train, dtype=self.dtype, name="bn")(
+            skip.astype(self.dtype))
         cat = jnp.concatenate([up_out, s], axis=-1)
         cat = nn.relu(cat)
         ni = cat.shape[-1]
@@ -131,10 +129,7 @@ class DynamicUnet(nn.Module):
         ub_cls = nn.remat(UnetBlock, static_argnums=(3,)) if self.remat else UnetBlock
 
         ni = feats.shape[-1]
-        y = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            dtype=self.dtype, param_dtype=jnp.float32, name="mid_bn",
-        )(feats)
+        y = batch_norm(train, dtype=self.dtype, name="mid_bn")(feats)
         y = nn.relu(y)
         y = ConvLayer(ni * 2, 3, norm=self.decoder_norm, dtype=self.dtype, name="mid_conv1")(y, train)
         y = ConvLayer(ni, 3, norm=self.decoder_norm, dtype=self.dtype, name="mid_conv2")(y, train)
