@@ -397,7 +397,12 @@ class TestPretrainedHelps:
         msk = np.zeros((h, w), np.uint8)
         msk[30:80, 40:120] = 1
         msk[100:140, 20:70] = 1
-        img[0][msk == 1] = 200
+        # weak, overlapping signal (band0 55-105 vs background 10-60) at a
+        # low lr: scratch's FIRST epoch stays well below ceiling, leaving
+        # headroom for the warm start to show (the round-3 suite caught a
+        # 200-vs-60 contrast version where scratch hit dice .998 in one
+        # epoch and the comparison was pure noise)
+        img[0][msk == 1] = rng.integers(55, 105, size=int(msk.sum()))
         T = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
         write_raster(tmp_path / "s.tif", img, transform=T)
         write_raster(tmp_path / "m.tif", msk[None], transform=T)
@@ -408,7 +413,7 @@ class TestPretrainedHelps:
         def run(desc, epochs, pretrained=None):
             cfg = TrainerConfig(
                 data_path=tmp_path / "tiles", model_path=tmp_path / "mm",
-                description=desc, batch_size=2, epochs=epochs, lr=1e-3,
+                description=desc, batch_size=2, epochs=epochs, lr=3e-4,
                 arch="xresnet18", codes=["bg", "fg"], bf16=False, seed=0,
                 pretrained_weights=pretrained, tpu_opt=False,
             )

@@ -55,7 +55,12 @@ def small_cfg(fixture_dir, model_dir, **kw):
 
 class TestTrainer:
     def test_learns_separable_task(self, fixture_dir, tmp_path):
-        cfg = small_cfg(fixture_dir, tmp_path)
+        # parity topology: this asserts LEARNING SPEED (dice > .85 in 3
+        # epochs) on a per-pixel-noise task — the one configuration where
+        # the tpu_opt half-res tail converges later by design (its quality
+        # gates run 10-20 epochs: test_pipeline_e2e.TestTpuOptQuality,
+        # test_quality_parity). The other Trainer tests run the default.
+        cfg = small_cfg(fixture_dir, tmp_path, tpu_opt=False)
         trainer = Trainer(cfg)
         state, history = trainer.fit()
         assert len(history) == 3
