@@ -227,7 +227,7 @@ def bench_loader(tile: int = 512, n_tiles: int = 16, bands: int = 4) -> dict:
     return res
 
 
-def bench_e2e_train(tile: int = 512, batch_size: int = 8, n_tiles: int = 32,
+def bench_e2e_train(tile: int = 512, batch_size: int = 8, n_tiles: int = 80,
                     tpu_opt: bool = True) -> dict:
     """End-to-end training throughput with the REAL data path: tiles on
     disk → loader decode → host→device transfer → train step.
