@@ -163,3 +163,40 @@ def test_tpu_opt_topology_version_guard(tmp_path):
     (d / "old.msgpack").write_bytes(b"")
     with pytest.raises(ValueError, match="topology v1"):
         ckpt.load_bundle(d)
+
+
+class TestTopologySafetyRails:
+    """Round-3 default-flip rails: config-level div-4 fallback and
+    existing_model topology adoption (train/loop.py)."""
+
+    def test_non_div4_tiles_fall_back_to_parity(self, tmp_path, rng, capsys):
+        root = tmp_path / "odd"
+        make_fixture(root, rng, n_train=4, n_valid=2, size=30)  # 30 % 4 != 0
+        cfg = small_cfg(root, tmp_path / "m", epochs=1, batch_size=2,
+                        tpu_opt=True)
+        trainer = Trainer(cfg)
+        try:
+            assert trainer.cfg.tpu_opt is False  # decided BEFORE model build
+            assert "not divisible by 4" in capsys.readouterr().out
+            assert trainer.manifest()["tpu_opt"] is False  # stamps the truth
+        finally:
+            trainer.close()
+
+    def test_existing_model_adopts_bundle_topology(self, fixture_dir, tmp_path,
+                                                   capsys):
+        # train a PARITY bundle, then transfer-learn with the tpu_opt
+        # default: the bundle's topology must win (the reference keeps the
+        # pickled model on load_learner, train.py:225)
+        cfg = small_cfg(fixture_dir, tmp_path / "a", epochs=1, tpu_opt=False)
+        bundle = train_model(cfg)
+        cfg2 = small_cfg(fixture_dir, tmp_path / "b", epochs=1,
+                         existing_model=str(bundle))
+        assert cfg2.tpu_opt is True  # the default the user didn't touch
+        t2 = Trainer(cfg2)
+        try:
+            assert t2.cfg.tpu_opt is False  # adopted from the bundle
+            assert "adopting bundle topology" in capsys.readouterr().out
+            state, history = t2.fit()
+            assert len(history) == 1
+        finally:
+            t2.close()
