@@ -203,3 +203,76 @@ class TestJpegInTiff:
         full, _ = tiff.read(str(p))
         win, _ = tiff.read_window(str(p), 20, 44, 5, 70)
         np.testing.assert_array_equal(win, full[:, 20:44, 5:70])
+
+
+class TestNativeJpeg:
+    """jpegdec.cpp is the production decoder for JPEG-in-TIFF (the Python
+    Huffman loop is ~3000× slower); it must agree with geo/jpeg.py within
+    ±2 levels (a chroma sample at an IDCT accumulation-order rounding
+    boundary shifts the transformed color by up to round(1.772); at most a
+    few pixels per image) and fall back cleanly on non-baseline streams."""
+
+    @pytest.fixture(autouse=True)
+    def _need_native(self):
+        from unet_tpu import native
+        if native.get_lib() is None or not hasattr(native.get_lib(),
+                                                   "unet_jpeg_decode"):
+            pytest.skip("native library unavailable")
+        self.native = native
+
+    @pytest.mark.parametrize("subsampling", [0, 1, 2])
+    def test_matches_python_decoder(self, subsampling):
+        arr = _gradient_scene()
+        data = _pil_jpeg_bytes(arr, quality=92, subsampling=subsampling)
+        want = jpeg_codec.decode(data).astype(np.int16)
+        got = self.native.jpeg_decode(data)
+        assert got is not None
+        diff = np.abs(got.astype(np.int16) - want)
+        assert diff.max() <= 2
+        assert (diff > 1).mean() < 1e-4  # rounding-boundary pixels only
+
+    def test_grayscale_and_restart(self):
+        g = _gradient_scene()[:, :, 0]
+        data = _pil_jpeg_bytes(g, quality=90)
+        want = jpeg_codec.decode(data)
+        got = self.native.jpeg_decode(data)
+        assert np.abs(got.astype(np.int16) - want.astype(np.int16)).max() <= 1
+        arr = _gradient_scene(64, 80, seed=3)
+        try:
+            data = _pil_jpeg_bytes(arr, quality=90, restart_marker_blocks=4)
+        except (TypeError, OSError):
+            pytest.skip("PIL build lacks restart-marker control")
+        got = self.native.jpeg_decode(data)
+        want = jpeg_codec.decode(data)
+        assert np.abs(got.astype(np.int16) - want.astype(np.int16)).max() <= 1
+
+    def test_jpegtables_stream(self):
+        arr = _gradient_scene(32, 48, seed=5)
+        tables, scan = _split_tables(_pil_jpeg_bytes(arr, quality=95,
+                                                     subsampling=0))
+        want = jpeg_codec.decode(scan, tables=tables)
+        got = self.native.jpeg_decode(scan, tables=tables)
+        assert got is not None
+        assert np.abs(got.astype(np.int16) - want.astype(np.int16)).max() <= 1
+
+    def test_progressive_returns_none(self):
+        data = _pil_jpeg_bytes(_gradient_scene(), quality=90, progressive=True)
+        assert self.native.jpeg_decode(data) is None
+
+    def test_corrupt_returns_none(self):
+        data = _pil_jpeg_bytes(_gradient_scene(), quality=90)
+        assert self.native.jpeg_decode(data[:40]) is None
+        assert self.native.jpeg_decode(b"\x00\x01\x02") is None
+
+    def test_batch_decoders_read_jpeg_tiff(self, tmp_path):
+        """JPEG tiles ride the multithreaded native batch path (training's
+        hot loop), byte-identical to the Python-codec read."""
+        arr = _gradient_scene(64, 80, seed=6)
+        p = tmp_path / "jb.tif"
+        _make_jpeg_tiff(p, arr, strips_rows=16, use_tables=True)
+        want_chw, _ = tiff.read(str(p))
+        want = np.moveaxis(want_chw, 0, 2)
+        raw = self.native.decode_batch_raw([str(p)], 64, 80, 3, np.uint8)
+        np.testing.assert_array_equal(raw[0], want)
+        f32 = self.native.decode_batch([str(p)], 64, 80, 3)
+        np.testing.assert_array_equal(f32[0].astype(np.uint8), want)

@@ -224,6 +224,29 @@ def bench_loader(tile: int = 512, n_tiles: int = 16, bands: int = 4) -> dict:
                 t0 = time.perf_counter()
                 native.decode_batch_raw(paths, tile, tile, bands, np.uint8)
                 res[f"native_{label}_mpix_s"] = mpix / (time.perf_counter() - t0)
+
+    # JPEG-in-TIFF rides jpegdec.cpp (the pure-Python Huffman loop is
+    # ~3000× slower — baseline only); PIL supplies the encoded stream.
+    if native.available():
+        try:
+            import io
+
+            from PIL import Image
+
+            arr = rng.integers(0, 255, size=(tile, tile, 3)).astype(np.uint8)
+            buf = io.BytesIO()
+            Image.fromarray(arr).save(buf, format="JPEG", quality=90,
+                                      subsampling=0)
+            data = buf.getvalue()
+            if native.jpeg_decode(data) is not None:  # warm + support check
+                reps = 8
+                t0 = time.perf_counter()
+                for _ in range(reps):
+                    native.jpeg_decode(data)
+                res["native_jpeg_mpix_s"] = (
+                    reps * tile * tile / 1e6 / (time.perf_counter() - t0))
+        except Exception:
+            pass
     return res
 
 

@@ -619,15 +619,19 @@ def _decode_chunk(chunk: bytes, compression: int, rows: int, width: int,
     (347), and PhotometricInterpretation decides the YCbCr transform (the
     reference gets this from libgdal→libjpeg, utils.py:39-48)."""
     if compression == COMP_JPEG:
-        from . import jpeg as jpeg_codec
-
         tables = tags.get(TAG_JPEG_TABLES)
+        tb = bytes(tables) if isinstance(tables, (bytes, bytearray)) else None
         photometric = int(tags.get(TAG_PHOTOMETRIC, 1))
-        arr = jpeg_codec.decode(
-            bytes(chunk),
-            tables=bytes(tables) if isinstance(tables, (bytes, bytearray)) else None,
-            color_transform=(photometric == 6) if photometric in (2, 6) else None,
-        )
+        ct = (photometric == 6) if photometric in (2, 6) else None
+        from .. import native as native_mod
+
+        arr = native_mod.jpeg_decode(bytes(chunk), tables=tb,
+                                     color_transform=ct)
+        if arr is None:  # no native lib / non-baseline stream
+            from . import jpeg as jpeg_codec
+
+            arr = jpeg_codec.decode(bytes(chunk), tables=tb,
+                                    color_transform=ct)
         if arr.shape[2] < channels:
             raise ValueError(
                 f"JPEG segment has {arr.shape[2]} components, expected {channels}")

@@ -22,19 +22,37 @@ _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
+# ABI version the Python bindings were written against; a stale .so
+# (from an older checkout) is rebuilt in place.
+_ABI_VERSION = 3
+
+
 def _build() -> bool:
-    src = _HERE / "tiffdec.cpp"
-    if not src.exists():
+    srcs = [_HERE / "tiffdec.cpp", _HERE / "jpegdec.cpp"]
+    if not all(s.exists() for s in srcs):
         return False
     try:
         subprocess.run(
             ["g++", "-O3", "-march=native", "-fPIC", "-std=c++17", "-shared",
-             str(src), "-o", str(_LIB_PATH), "-lz", "-lpthread"],
+             *[str(s) for s in srcs], "-o", str(_LIB_PATH),
+             "-lz", "-lpthread"],
             check=True, capture_output=True, timeout=120,
         )
         return _LIB_PATH.exists()
     except Exception:
         return False
+
+
+def _load_checked() -> Optional[ctypes.CDLL]:
+    """dlopen the .so and verify its ABI version; None on mismatch."""
+    try:
+        lib = ctypes.CDLL(str(_LIB_PATH))
+        lib.unet_native_version.restype = ctypes.c_int
+        if lib.unet_native_version() >= _ABI_VERSION:
+            return lib
+    except (OSError, AttributeError):
+        pass
+    return None
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
@@ -47,8 +65,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return None
     if not _LIB_PATH.exists() and not _build():
         return None
+    lib = _load_checked()
+    if lib is None:  # stale or broken .so: rebuild once
+        if not _build():
+            return None
+        lib = _load_checked()
+        if lib is None:
+            return None
     try:
-        lib = ctypes.CDLL(str(_LIB_PATH))
         lib.unet_decode_batch.restype = ctypes.c_int
         lib.unet_decode_batch.argtypes = [
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
@@ -74,8 +98,20 @@ def get_lib() -> Optional[ctypes.CDLL]:
                    "unet_packbits_decode", "unet_packbits_encode"):
             getattr(lib, fn).restype = ctypes.c_longlong
             getattr(lib, fn).argtypes = codec_sig
+        intp = ctypes.POINTER(ctypes.c_int)
+        lib.unet_jpeg_dims.restype = ctypes.c_int
+        lib.unet_jpeg_dims.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong, intp, intp, intp,
+        ]
+        lib.unet_jpeg_decode.restype = ctypes.c_int
+        lib.unet_jpeg_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
+            intp, intp, intp, ctypes.c_int,
+        ]
         _lib = lib
-    except OSError:
+    except (OSError, AttributeError):
         _lib = None
     return _lib
 
@@ -184,3 +220,32 @@ def packbits_decode(data: bytes, expected: int) -> Optional[bytes]:
 
 def packbits_encode(data: bytes) -> Optional[bytes]:
     return _codec_call("unet_packbits_encode", data, 2 * len(data) + 1024)
+
+
+def jpeg_decode(data: bytes, tables: Optional[bytes] = None,
+                color_transform: Optional[bool] = None) -> Optional[np.ndarray]:
+    """Native baseline-JPEG decode → (H, W, C) uint8, or None when the
+    native library is unavailable or the stream needs the Python/PIL path
+    (progressive, arithmetic, 12-bit). Mirrors geo.jpeg.decode semantics;
+    the TIFF codec tries this first and falls back transparently."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    h = ctypes.c_int()
+    w = ctypes.c_int()
+    c = ctypes.c_int()
+    if lib.unet_jpeg_dims(data, len(data), ctypes.byref(h), ctypes.byref(w),
+                          ctypes.byref(c)) != 0:
+        return None
+    if h.value <= 0 or w.value <= 0 or not 1 <= c.value <= 4:
+        return None
+    out = np.empty((h.value, w.value, c.value), np.uint8)
+    ct = -1 if color_transform is None else int(bool(color_transform))
+    rc = lib.unet_jpeg_decode(
+        data, len(data), tables, len(tables) if tables else 0,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size,
+        ctypes.byref(h), ctypes.byref(w), ctypes.byref(c), ct,
+    )
+    if rc != 0:
+        return None
+    return out

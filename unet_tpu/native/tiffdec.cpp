@@ -13,7 +13,8 @@
 // Supported TIFF subset (matches unet_tpu.geo.tiff, the Python codec):
 //   classic TIFF and BigTIFF, little- and big-endian,
 //   strip- and tile-organized, PlanarConfiguration 1|2,
-//   Compression 1 (none) | 5 (LZW) | 8/32946 (deflate) | 32773 (PackBits),
+//   Compression 1 (none) | 5 (LZW) | 7 (new-style baseline JPEG, via
+//   jpegdec.cpp) | 8/32946 (deflate) | 32773 (PackBits),
 //   Predictor 1|2|3, uint8..int32/float32/float64 samples.
 //
 // C ABI (ctypes):
@@ -44,6 +45,8 @@
 #include <vector>
 
 #include <zlib.h>
+
+#include "jpegdec.h"
 
 namespace {
 
@@ -245,10 +248,13 @@ struct Ifd {
   uint32_t width = 0, height = 0;
   uint16_t samples = 1, bits = 8, sample_format = 1;
   uint16_t compression = 1, planar = 1, predictor = 1;
+  uint16_t photometric = 1;
   uint32_t rows_per_strip = 0;
   bool tiled = false;
   uint32_t tile_w = 0, tile_h = 0;
   bool bigendian = false;
+  // JPEGTables tag 347 (abbreviated-tables stream shared by all segments)
+  uint64_t jpegtables_off = 0, jpegtables_len = 0;
   std::vector<uint64_t> seg_offsets, seg_counts;
 };
 
@@ -362,6 +368,11 @@ bool parse_ifd(const std::vector<uint8_t>& buf, Ifd& ifd) {
       case 257: ifd.height = (uint32_t)val_at(0); break;
       case 258: ifd.bits = (uint16_t)val_at(0); break;
       case 259: ifd.compression = (uint16_t)val_at(0); break;
+      case 262: ifd.photometric = (uint16_t)val_at(0); break;
+      case 347:
+        ifd.jpegtables_off = voff;
+        ifd.jpegtables_len = size;
+        break;
       case 277: ifd.samples = (uint16_t)val_at(0); break;
       case 278: ifd.rows_per_strip = (uint32_t)val_at(0); break;
       case 284: ifd.planar = (uint16_t)val_at(0); break;
@@ -459,7 +470,7 @@ void convert_to_f32(const uint8_t* raw, float* out, size_t n, uint16_t bits,
 }
 
 struct Scratch {
-  std::vector<uint8_t> seg, pred3;
+  std::vector<uint8_t> seg, pred3, jpeg;
   std::vector<float> tilebuf;
 };
 
@@ -475,6 +486,39 @@ const uint8_t* prep_segment(const std::vector<uint8_t>& d, const Ifd& ifd,
   size_t decoded = (size_t)rows * w_seg * ch * itemsize;
   const uint8_t* raw;
   uint8_t* mut = nullptr;
+  if (ifd.compression == 7) {
+    // new-style JPEG: each segment is a JPEG stream; shared tables ride
+    // tag 347; PhotometricInterpretation decides the YCbCr transform
+    // (mirrors geo/tiff.py _decode_chunk). Tiles may be MCU-padded past
+    // the requested region — decode at frame size, crop top-left.
+    if (ifd.bits != 8 || ifd.sample_format != 1 || ifd.predictor != 1)
+      return nullptr;
+    const uint8_t* tb = nullptr;
+    long long tbn = 0;
+    if (ifd.jpegtables_len > 4 &&
+        ifd.jpegtables_off + ifd.jpegtables_len <= d.size()) {
+      tb = d.data() + ifd.jpegtables_off;
+      tbn = (long long)ifd.jpegtables_len;
+    }
+    int fh, fw, fc;
+    if (unet_native::jpeg_dims_impl(d.data() + off, (long long)cnt, &fh, &fw, &fc) != 0)
+      return nullptr;
+    if (fc != (int)ch || fh < (int)rows || fw < (int)w_seg) return nullptr;
+    sc.jpeg.resize((size_t)fh * fw * fc);
+    int oh, ow, oc;
+    int ct = (ifd.photometric == 6) ? 1 : (ifd.photometric == 2 ? 0 : -1);
+    if (unet_native::jpeg_decode_impl(d.data() + off, (long long)cnt, tb, tbn,
+                         sc.jpeg.data(), (long long)sc.jpeg.size(), &oh, &ow,
+                         &oc, ct) != 0)
+      return nullptr;
+    if (fw == (int)w_seg && fh == (int)rows) return sc.jpeg.data();
+    sc.seg.resize(decoded);
+    for (uint32_t rrow = 0; rrow < rows; rrow++)
+      std::memcpy(sc.seg.data() + (size_t)rrow * w_seg * ch,
+                  sc.jpeg.data() + (size_t)rrow * fw * fc,
+                  (size_t)w_seg * ch);
+    return sc.seg.data();
+  }
   if (ifd.compression == 1) {
     raw = d.data() + off;
   } else {
@@ -786,6 +830,6 @@ long long unet_packbits_encode(const uint8_t* src, long long n, uint8_t* dst,
   return packbits_encode_impl(src, n, dst, cap);
 }
 
-int unet_native_version(void) { return 2; }
+int unet_native_version(void) { return 3; }
 
 }  // extern "C"
