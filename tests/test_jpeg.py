@@ -264,6 +264,27 @@ class TestNativeJpeg:
         assert self.native.jpeg_decode(data[:40]) is None
         assert self.native.jpeg_decode(b"\x00\x01\x02") is None
 
+    def test_malformed_streams_never_crash(self):
+        """Truncations, bit-flips, and a forged giant frame header must
+        fail cleanly (None or a decoded array) — never kill the process:
+        the decoder sits behind a C ABI where an escaping exception is
+        fatal to the training job."""
+        rng = np.random.default_rng(11)
+        data = bytearray(_pil_jpeg_bytes(_gradient_scene(48, 64), quality=85))
+        for cut in (2, 10, 100, len(data) // 2, len(data) - 1):
+            self.native.jpeg_decode(bytes(data[:cut]))
+        for _ in range(50):
+            mut = bytearray(data)
+            for _ in range(rng.integers(1, 6)):
+                mut[rng.integers(2, len(mut))] = rng.integers(0, 256)
+            self.native.jpeg_decode(bytes(mut))
+        # forged SOF dims (65535×65535): must refuse, not allocate 12 GB
+        sof = bytes(data).find(b"\xff\xc0")
+        assert sof > 0
+        forged = bytearray(data)
+        forged[sof + 5 : sof + 9] = b"\xff\xff\xff\xff"
+        assert self.native.jpeg_decode(bytes(forged)) is None
+
     def test_batch_decoders_read_jpeg_tiff(self, tmp_path):
         """JPEG tiles ride the multithreaded native batch path (training's
         hot loop), byte-identical to the Python-codec read."""

@@ -239,7 +239,15 @@ def jpeg_decode(data: bytes, tables: Optional[bytes] = None,
         return None
     if h.value <= 0 or w.value <= 0 or not 1 <= c.value <= 4:
         return None
-    out = np.empty((h.value, w.value, c.value), np.uint8)
+    if h.value * w.value * c.value > 1 << 30:
+        # a TIFF strip/tile segment is never GiB-scale decoded; a forged
+        # frame header must not drive the allocation (decode scratch is
+        # ~10x the output size)
+        return None
+    try:
+        out = np.empty((h.value, w.value, c.value), np.uint8)
+    except MemoryError:
+        return None
     ct = -1 if color_transform is None else int(bool(color_transform))
     rc = lib.unet_jpeg_decode(
         data, len(data), tables, len(tables) if tables else 0,

@@ -372,7 +372,7 @@ int jpeg_dims_impl(const uint8_t* data, long long n, int* h, int* w, int* c) {
 
 int jpeg_decode_impl(const uint8_t* data, long long n, const uint8_t* tables,
                      long long tn, uint8_t* dst, long long cap, int* out_h,
-                     int* out_w, int* out_c, int color_transform) {
+                     int* out_w, int* out_c, int color_transform) try {
   JState st;
   if (tables && tn > 0) {
     long long r = parse_segments(tables, tn, st);
@@ -384,6 +384,11 @@ int jpeg_decode_impl(const uint8_t* data, long long n, const uint8_t* tables,
   if (!st.has_frame) return -1;
   if (st.precision != 8) return -2;
   if (st.scan_nc != st.nc) return -1;  // single interleaved scan only
+  if (st.h <= 0 || st.w <= 0) return -1;
+  // a forged frame header must not drive allocation past the caller's
+  // buffer: the decode needs ~(hmax*vmax+1)*h*w floats of plane scratch,
+  // so bound the frame by the destination capacity before allocating
+  if ((long long)st.h * st.w * st.nc > cap) return -3;
 
   int hmax = 1, vmax = 1;
   for (int c = 0; c < st.nc; c++) {
@@ -516,8 +521,6 @@ int jpeg_decode_impl(const uint8_t* data, long long n, const uint8_t* tables,
     }
   }
 
-  long long need = (long long)st.h * st.w * st.nc;
-  if (need > cap) return -3;
   *out_h = st.h;
   *out_w = st.w;
   *out_c = st.nc;
@@ -559,6 +562,8 @@ int jpeg_decode_impl(const uint8_t* data, long long n, const uint8_t* tables,
     }
   }
   return 0;
+} catch (const std::exception&) {
+  return -1;  // bad_alloc etc. must not escape the C ABI
 }
 
 }  // namespace unet_native

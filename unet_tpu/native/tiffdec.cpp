@@ -504,6 +504,9 @@ const uint8_t* prep_segment(const std::vector<uint8_t>& d, const Ifd& ifd,
     if (unet_native::jpeg_dims_impl(d.data() + off, (long long)cnt, &fh, &fw, &fc) != 0)
       return nullptr;
     if (fc != (int)ch || fh < (int)rows || fw < (int)w_seg) return nullptr;
+    // MCU round-up is the only legitimate excess; a forged frame header
+    // must not drive a giant allocation
+    if (fh > (int)rows + 64 || fw > (int)w_seg + 64) return nullptr;
     sc.jpeg.resize((size_t)fh * fw * fc);
     int oh, ow, oc;
     int ct = (ifd.photometric == 6) ? 1 : (ifd.photometric == 2 ? 0 : -1);
