@@ -17,18 +17,27 @@ import numpy as np  # noqa: E402
 
 
 def annot_min(y: Sequence[float], ax=None) -> None:
-    """Arrow annotation at the lowest loss (utils.py:58-69)."""
-    y = np.asarray(y)
-    xmin = int(np.argmin(y))
-    ymin = float(np.min(y))
-    text = f"Lowest Loss={ymin:.2f}, Ep. {xmin}"
-    if not ax:
-        ax = plt.gca()
-    bbox_props = dict(boxstyle="square,pad=0.3", fc="w", ec="k", lw=0.72)
-    arrowprops = dict(arrowstyle="->", connectionstyle="angle,angleA=0,angleB=120")
-    kw = dict(xycoords="data", textcoords="axes fraction",
-              arrowprops=arrowprops, bbox=bbox_props, ha="left", va="top")
-    ax.annotate(text, xy=(xmin, ymin), xytext=(0.06, 0.96), **kw)
+    """Arrow annotation at the lowest loss point.
+
+    Behavior parity with utils.py:58-69: same label format, box/arrow
+    styling constants and anchor position, so the saved loss plots are
+    pixel-identical to the reference's.
+    """
+    curve = np.asarray(y)
+    best_ep = int(curve.argmin())
+    ax = ax or plt.gca()
+    ax.annotate(
+        f"Lowest Loss={float(curve[best_ep]):.2f}, Ep. {best_ep}",
+        xy=(best_ep, float(curve[best_ep])),
+        xytext=(0.06, 0.96),
+        xycoords="data",
+        textcoords="axes fraction",
+        ha="left",
+        va="top",
+        bbox={"boxstyle": "square,pad=0.3", "fc": "w", "ec": "k", "lw": 0.72},
+        arrowprops={"arrowstyle": "->",
+                    "connectionstyle": "angle,angleA=0,angleB=120"},
+    )
 
 
 def visualize_data(inputs: np.ndarray, model_path) -> Path:
