@@ -1,4 +1,5 @@
-"""Baseline JPEG decoder (geo/jpeg.py) + JPEG-in-TIFF integration.
+"""JPEG decoder (geo/jpeg.py, baseline + progressive) + JPEG-in-TIFF
+integration.
 
 PIL (libjpeg) is the cross-validation oracle: our decoder must match its
 output within IDCT rounding (±3 levels, mean < 1). The TIFF container
@@ -70,11 +71,59 @@ class TestBaselineDecoder:
         got = jpeg_codec.decode(data).astype(np.int16)
         assert np.abs(got - want).max() <= 3
 
-    def test_progressive_raises_clearly(self):
-        arr = _gradient_scene()
-        data = _pil_jpeg_bytes(arr, quality=90, progressive=True)
-        with pytest.raises(ValueError, match="progressive"):
+    def test_arithmetic_raises_clearly(self):
+        # PIL can't emit arithmetic-coded JPEG; a crafted SOF9 header
+        # checks the error path names the feature.
+        data = b"\xff\xd8\xff\xc9" + struct.pack(">H", 8) + bytes(6) + b"\xff\xd9"
+        with pytest.raises(ValueError, match="arithmetic"):
             jpeg_codec.decode(data)
+
+
+class TestProgressiveDecoder:
+    """SOF2 multi-scan streams: spectral selection + successive
+    approximation (DC first/refine, AC first/refine with EOB runs). The
+    coefficients are identical to sequential once all scans land, so the
+    PIL tolerance matches the baseline tests."""
+
+    @pytest.mark.parametrize("subsampling", [0, 1, 2])
+    def test_matches_pil_color(self, subsampling):
+        arr = _gradient_scene()
+        data = _pil_jpeg_bytes(arr, quality=92, subsampling=subsampling,
+                               progressive=True)
+        assert b"\xff\xc2" in data  # SOF2 actually present
+        want = _pil_decode(data).astype(np.int16)
+        got = jpeg_codec.decode(data).astype(np.int16)
+        assert got.shape == want.shape
+        diff = np.abs(got - want)
+        assert diff.max() <= 3, diff.max()
+        assert diff.mean() < 1.0, diff.mean()
+
+    def test_matches_pil_grayscale(self):
+        arr = _gradient_scene()[:, :, 0]
+        data = _pil_jpeg_bytes(arr, quality=90, progressive=True)
+        want = np.asarray(PIL.open(io.BytesIO(data))).astype(np.int16)
+        got = jpeg_codec.decode(data)[:, :, 0].astype(np.int16)
+        assert np.abs(got - want).max() <= 3
+
+    def test_restart_markers(self):
+        arr = _gradient_scene(64, 80, seed=3)
+        try:
+            data = _pil_jpeg_bytes(arr, quality=90, progressive=True,
+                                   restart_marker_blocks=4)
+        except (TypeError, OSError):
+            pytest.skip("PIL build lacks restart-marker control")
+        assert b"\xff\xdd" in data
+        want = _pil_decode(data).astype(np.int16)
+        got = jpeg_codec.decode(data).astype(np.int16)
+        assert np.abs(got - want).max() <= 3
+
+    def test_low_quality_many_scans(self):
+        # low quality exercises long EOB runs across blocks
+        arr = _gradient_scene(80, 96, seed=7)
+        data = _pil_jpeg_bytes(arr, quality=25, progressive=True)
+        want = _pil_decode(data).astype(np.int16)
+        got = jpeg_codec.decode(data).astype(np.int16)
+        assert np.abs(got - want).max() <= 3
 
 
 def _split_tables(stream):
@@ -103,7 +152,8 @@ def _split_tables(stream):
     return bytes(tables), bytes(rest)
 
 
-def _make_jpeg_tiff(path, arr, strips_rows=None, use_tables=False):
+def _make_jpeg_tiff(path, arr, strips_rows=None, use_tables=False,
+                    progressive=False):
     """Hand-assemble a compression-7 TIFF: PIL encodes each strip's JPEG
     stream; optionally split shared tables into tag 347."""
     h, w, c = arr.shape
@@ -111,7 +161,7 @@ def _make_jpeg_tiff(path, arr, strips_rows=None, use_tables=False):
     streams = []
     for y0 in range(0, h, rows):
         streams.append(_pil_jpeg_bytes(arr[y0 : y0 + rows], quality=95,
-                                       subsampling=0))
+                                       subsampling=0, progressive=progressive))
     tables = None
     if use_tables:
         split = [_split_tables(s) for s in streams]
@@ -193,6 +243,21 @@ class TestJpegInTiff:
         want = np.concatenate([
             _pil_decode(_pil_jpeg_bytes(arr[y : y + 16], quality=95, subsampling=0))
             for y in range(0, 64, 16)], axis=0)
+        diff = np.abs(got.astype(np.int16) - np.moveaxis(want, 2, 0).astype(np.int16))
+        assert diff.max() <= 3
+
+    def test_progressive_strips(self, tmp_path):
+        """Progressive streams in a compression-7 TIFF decode through the
+        pure-Python codec (the native decoder declines SOF2)."""
+        arr = _gradient_scene(64, 80, seed=8)
+        p = tmp_path / "jp.tif"
+        _make_jpeg_tiff(p, arr, strips_rows=32, progressive=True)
+        got, info = tiff.read(str(p))
+        assert got.shape == (3, 64, 80)
+        want = np.concatenate([
+            _pil_decode(_pil_jpeg_bytes(arr[y : y + 32], quality=95,
+                                        subsampling=0, progressive=True))
+            for y in range(0, 64, 32)], axis=0)
         diff = np.abs(got.astype(np.int16) - np.moveaxis(want, 2, 0).astype(np.int16))
         assert diff.max() <= 3
 

@@ -1,19 +1,23 @@
-"""Dependency-free baseline JPEG decoder (for JPEG-in-TIFF).
+"""Dependency-free JPEG decoder (for JPEG-in-TIFF).
 
 GDAL reads JPEG-compressed GeoTIFFs natively (/root/reference/utils.py:39-48
-via libgdal→libjpeg); round 2 fell back to PIL, an optional dependency that
+via libgdal->libjpeg); round 2 fell back to PIL, an optional dependency that
 may be absent in a deployment image (VERDICT r2 "missing" #3). This module
-decodes **baseline sequential** JPEG (SOF0/SOF1, Huffman, 8-bit, grayscale
-or 3-component YCbCr/RGB, arbitrary 4:4:4 / 4:2:2 / 4:2:0 sampling,
-restart markers) in pure numpy — the encoding libjpeg emits for aerial
-TIFF tiles/strips. Progressive/arithmetic JPEG still routes to PIL when
-importable; otherwise the error names the feature.
+decodes **baseline sequential** (SOF0/SOF1) and **progressive** (SOF2)
+Huffman JPEG in pure numpy: 8-bit, grayscale or 3-component YCbCr/RGB,
+arbitrary 4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers, multi-scan
+streams with spectral selection + successive approximation (the scan
+scripts libjpeg's ``jpeg_simple_progression`` emits). Arithmetic-coded and
+lossless JPEG raise a ValueError naming the feature (PIL can't produce
+them either; GDAL-written aerial products don't use them).
 
 TIFF new-style JPEG (compression 7) splits shared tables into the
 JPEGTables tag (347) as an "abbreviated tables" stream; pass it as
 ``tables`` and each segment's own markers override.
 
-Decode output matches libjpeg within ±2 levels (different IDCT rounding);
+Decoding buffers dequantized coefficients per component across all scans,
+then runs one vectorized batch IDCT (einsum over every 8x8 block at once).
+Output matches libjpeg within a few levels (different IDCT rounding);
 tests cross-check against PIL.
 """
 
@@ -165,14 +169,14 @@ class _State:
         self.huff_ac: Dict[int, _HuffTable] = {}
         self.restart_interval = 0
         self.frame = None  # (precision, h, w, comps)
+        self.progressive = False
+        self.scan = None  # per-SOS: {"comps": [...], "ss","se","ah","al"}
 
 
-def _parse_segments(data: bytes, state: _State) -> Optional[int]:
-    """Walk marker segments, filling ``state``. Returns the offset of
-    entropy-coded data after SOS, or None if no SOS present."""
-    if data[:2] != b"\xff\xd8":
-        raise ValueError("Not a JPEG stream (missing SOI)")
-    pos = 2
+def _parse_markers(data: bytes, pos: int, state: _State) -> Optional[int]:
+    """Walk marker segments from ``pos``, filling ``state``. Returns the
+    offset of entropy-coded data after the next SOS, or None at EOI / end
+    of stream (no further scan)."""
     n = len(data)
     while pos + 4 <= n:
         if data[pos] != 0xFF:
@@ -210,7 +214,8 @@ def _parse_segments(data: bytes, state: _State) -> Optional[int]:
                 table = _HuffTable(counts, symbols)
                 (state.huff_dc if tc == 0 else state.huff_ac)[th] = table
                 i += 17 + total
-        elif marker in (0xC0, 0xC1):  # SOF0/SOF1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+            state.progressive = marker == 0xC2
             precision = seg[0]
             h, w = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
@@ -219,10 +224,12 @@ def _parse_segments(data: bytes, state: _State) -> Optional[int]:
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             state.frame = (precision, h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
-            kind = {0xC2: "progressive", 0xCA: "progressive",
-                    0xC9: "arithmetic", 0xCB: "arithmetic"}.get(marker, "extended")
+            kind = {0xC9: "arithmetic", 0xCA: "arithmetic",
+                    0xCB: "arithmetic", 0xCD: "arithmetic",
+                    0xCE: "arithmetic", 0xCF: "arithmetic",
+                    0xC3: "lossless", 0xC7: "lossless"}.get(marker, "differential")
             raise ValueError(f"Unsupported JPEG coding: {kind} (SOF{marker - 0xC0})")
         elif marker == 0xDD:  # DRI
             (state.restart_interval,) = struct.unpack(">H", seg[:2])
@@ -232,15 +239,220 @@ def _parse_segments(data: bytes, state: _State) -> Optional[int]:
             for c in range(nc):
                 cs, tables = seg[1 + 2 * c : 3 + 2 * c]
                 scan.append({"cs": cs, "dc": tables >> 4, "ac": tables & 0xF})
-            state.scan = scan
+            ss, se, ahal = seg[1 + 2 * nc : 4 + 2 * nc]
+            state.scan = {"comps": scan, "ss": ss, "se": se,
+                          "ah": ahal >> 4, "al": ahal & 0xF}
             return pos + 2 + seglen
         pos += 2 + seglen
     return None
 
 
+def _next_marker_pos(data: bytes, pos: int) -> int:
+    """Advance past a scan's entropy-coded data to the next marker that is
+    not a stuffed byte, fill byte, or restart."""
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] != 0xFF:
+            pos += 1
+            continue
+        nxt = data[pos + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            pos += 2
+        elif nxt == 0xFF:  # fill byte
+            pos += 1
+        else:
+            return pos
+    return n
+
+
+class _Geometry:
+    """Frame block geometry: the interleaved (MCU-padded) coefficient grid
+    per component, plus each component's own non-interleaved scan grid
+    (T.81 A.2.2: non-interleaved scans cover ceil(comp_size/8) blocks, not
+    the MCU-padded grid)."""
+
+    def __init__(self, frame):
+        _, h, w, comps = frame
+        self.hmax = max(c["h"] for c in comps)
+        self.vmax = max(c["v"] for c in comps)
+        self.mcus_x = -(-w // (8 * self.hmax))
+        self.mcus_y = -(-h // (8 * self.vmax))
+        self.grid = []  # per component: (nby, nbx, scan_bh, scan_bw)
+        for c in comps:
+            cw = -(-w * c["h"] // self.hmax)
+            ch = -(-h * c["v"] // self.vmax)
+            self.grid.append((self.mcus_y * c["v"], self.mcus_x * c["h"],
+                              -(-ch // 8), -(-cw // 8)))
+
+
+def _decode_block(reader: _BitReader, block: np.ndarray, dct, act,
+                  ss: int, se: int, ah: int, al: int,
+                  dc_pred: List[int], ci: int, eob: List[int]) -> None:
+    """Decode one 8×8 block's contribution for the current scan into
+    ``block`` (length-64 int32, zigzag order). Covers every T.81 Huffman
+    scan kind: sequential DC+AC, progressive DC first/refine (G.2.1) and
+    AC first/refine with EOB runs (G.2.2, following jdphuff.c semantics)."""
+    if ss == 0:
+        if ah == 0:  # DC first (or sequential)
+            t = reader.decode_symbol(dct)
+            dc_pred[ci] += _extend(reader.bits(t), t)
+            block[0] = dc_pred[ci] << al
+        else:  # DC refinement: one correction bit
+            if reader.bit():
+                block[0] |= 1 << al
+        if se == 0:
+            return
+        # sequential scan: AC coefficients follow in the same scan
+        k = 1
+        while k <= se:
+            rs = reader.decode_symbol(act)
+            r, size = rs >> 4, rs & 0xF
+            if size == 0:
+                if r == 15:
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > se:
+                break
+            block[k] = _extend(reader.bits(size), size) << al
+            k += 1
+        return
+    if ah == 0:  # AC first scan (spectral band ss..se at approximation al)
+        if eob[0] > 0:
+            eob[0] -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = reader.decode_symbol(act)
+            r, size = rs >> 4, rs & 0xF
+            if size == 0:
+                if r != 15:
+                    eob[0] = (1 << r) - 1  # this block starts the EOB run
+                    if r:
+                        eob[0] += reader.bits(r)
+                    break
+                k += 16
+                continue
+            k += r
+            if k > se:
+                break
+            block[k] = _extend(reader.bits(size), size) << al
+            k += 1
+        return
+    # AC refinement: correction bits for already-nonzero coefficients,
+    # plus newly significant +-1<<al coefficients placed by run lengths.
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eob[0] == 0:
+        while k <= se:
+            rs = reader.decode_symbol(act)
+            r, size = rs >> 4, rs & 0xF
+            newval = 0
+            if size == 0:
+                if r != 15:
+                    eob[0] = 1 << r  # current block handled by the tail below
+                    if r:
+                        eob[0] += reader.bits(r)
+                    break
+            else:  # size is 1 by spec: a newly significant coefficient
+                newval = p1 if reader.bit() else m1
+            # advance r zero-history coefficients, correcting nonzero ones
+            while k <= se:
+                c = int(block[k])
+                if c != 0:
+                    if reader.bit() and (c & p1) == 0:
+                        block[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval != 0 and k <= se:
+                block[k] = newval
+            k += 1
+    if eob[0] > 0:
+        while k <= se:  # EOB run still sends correction bits for nonzeros
+            c = int(block[k])
+            if c != 0:
+                if reader.bit() and (c & p1) == 0:
+                    block[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eob[0] -= 1
+
+
+def _decode_scan(reader: _BitReader, state: _State, geom: _Geometry,
+                 coefs: List[np.ndarray], comps: List[dict]) -> None:
+    """Decode one scan's entropy data into the coefficient buffers."""
+    scan = state.scan
+    ss, se, ah, al = scan["ss"], scan["se"], scan["ah"], scan["al"]
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    members = []
+    for s in scan["comps"]:
+        if s["cs"] not in by_id:
+            raise ValueError(f"Scan references unknown component {s['cs']}")
+        ci = by_id[s["cs"]]
+        dct = state.huff_dc.get(s["dc"]) if (ss == 0) else None
+        act = state.huff_ac.get(s["ac"]) if (se > 0) else None
+        if ss == 0 and ah == 0 and dct is None:
+            raise ValueError("Corrupt JPEG: missing DC Huffman table")
+        if se > 0 and act is None:
+            raise ValueError("Corrupt JPEG: missing AC Huffman table")
+        members.append((ci, comps[ci], dct, act))
+    if ss > 0 and len(members) != 1:
+        raise ValueError("Corrupt JPEG: progressive AC scan must be "
+                         "non-interleaved")
+
+    dc_pred = [0] * len(comps)
+    eob = [0]
+    ri = state.restart_interval
+    count = 0  # MCUs (interleaved) or blocks (single-component scan)
+
+    if len(members) > 1 or (len(scan["comps"]) > 1):
+        for my in range(geom.mcus_y):
+            for mx in range(geom.mcus_x):
+                if ri and count and count % ri == 0:
+                    reader.align_restart()
+                    dc_pred = [0] * len(comps)
+                    eob[0] = 0
+                for ci, c, dct, act in members:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            _decode_block(
+                                reader, coefs[ci][my * c["v"] + by,
+                                                  mx * c["h"] + bx],
+                                dct, act, ss, se, ah, al, dc_pred, ci, eob)
+                count += 1
+    else:
+        ci, c, dct, act = members[0]
+        _, _, bh, bw = geom.grid[ci]
+        for by in range(bh):
+            for bx in range(bw):
+                if ri and count and count % ri == 0:
+                    reader.align_restart()
+                    dc_pred = [0] * len(comps)
+                    eob[0] = 0
+                _decode_block(reader, coefs[ci][by, bx], dct, act,
+                              ss, se, ah, al, dc_pred, ci, eob)
+                count += 1
+
+
+def _idct_plane(coefs: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """(nby, nbx, 64) zigzag int32 coefficients → (nby*8, nbx*8) float32
+    samples, as one vectorized dequant + batch IDCT."""
+    nby, nbx, _ = coefs.shape
+    nat = np.zeros((nby, nbx, 64), np.float32)
+    nat[..., ZIGZAG] = coefs
+    blocks = nat.reshape(nby, nbx, 8, 8) * q[None, None]
+    pix = np.einsum("ui,YXuv,vj->YXij", _A, blocks, _A,
+                    optimize=True) + 128.0
+    return pix.transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+
+
 def decode(data: bytes, tables: Optional[bytes] = None,
            color_transform: Optional[bool] = None) -> np.ndarray:
-    """Decode a baseline JPEG stream → (H, W, C) uint8.
+    """Decode a baseline or progressive JPEG stream → (H, W, C) uint8.
 
     ``tables``: optional abbreviated-tables stream (TIFF JPEGTables tag
     347) parsed first; the segment's own DQT/DHT/DRI override.
@@ -250,77 +462,48 @@ def decode(data: bytes, tables: Optional[bytes] = None,
     """
     state = _State()
     if tables:
-        _parse_segments(tables, state)
-    scan_pos = _parse_segments(data, state)
+        if tables[:2] != b"\xff\xd8":
+            raise ValueError("JPEGTables stream missing SOI")
+        _parse_markers(tables, 2, state)
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("Not a JPEG stream (missing SOI)")
+
+    pos = 2
+    geom = None
+    coefs = None
+    comps = None
+    nscans = 0
+    while True:
+        scan_pos = _parse_markers(data, pos, state)
+        if scan_pos is None:
+            break
+        if state.frame is None:
+            raise ValueError("Corrupt JPEG: scan before frame header (SOF)")
+        if geom is None:
+            precision, _, _, comps = state.frame
+            if precision != 8:
+                raise ValueError(f"Unsupported JPEG precision {precision}")
+            geom = _Geometry(state.frame)
+            coefs = [np.zeros((nby, nbx, 64), np.int32)
+                     for nby, nbx, _, _ in geom.grid]
+        reader = _BitReader(data, scan_pos)
+        _decode_scan(reader, state, geom, coefs, comps)
+        nscans += 1
+        pos = _next_marker_pos(data, reader.pos)
+
     if state.frame is None:
         raise ValueError("JPEG stream has no frame header (SOF)")
-    if scan_pos is None:
+    if nscans == 0:
         raise ValueError("JPEG stream has no scan (SOS)")
-    precision, h, w, comps = state.frame
-    if precision != 8:
-        raise ValueError(f"Unsupported JPEG precision {precision}")
+    _, h, w, comps = state.frame
 
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcu_w, mcu_h = 8 * hmax, 8 * vmax
-    mcus_x = (w + mcu_w - 1) // mcu_w
-    mcus_y = (h + mcu_h - 1) // mcu_h
-
-    by_id = {c["id"]: c for c in comps}
-    scan = [dict(s, **by_id[s["cs"]]) for s in state.scan]
-
-    planes = []
-    for s in scan:
-        pw, ph = mcus_x * 8 * s["h"], mcus_y * 8 * s["v"]
-        planes.append(np.zeros((ph, pw), np.float32))
-
-    reader = _BitReader(data, scan_pos)
-    dc_pred = [0] * len(scan)
-    ri = state.restart_interval
-    mcu_count = 0
-
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if ri and mcu_count and mcu_count % ri == 0:
-                reader.align_restart()
-                dc_pred = [0] * len(scan)
-            for ci, s in enumerate(scan):
-                dct = state.huff_dc[s["dc"]]
-                act = state.huff_ac[s["ac"]]
-                q = state.qt[s["tq"]]
-                for by in range(s["v"]):
-                    for bx in range(s["h"]):
-                        coef = np.zeros(64, np.float32)
-                        t = reader.decode_symbol(dct)
-                        diff = _extend(reader.bits(t), t)
-                        dc_pred[ci] += diff
-                        coef[0] = dc_pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = reader.decode_symbol(act)
-                            r, size = rs >> 4, rs & 0xF
-                            if size == 0:
-                                if r == 15:
-                                    k += 16
-                                    continue
-                                break  # EOB
-                            k += r
-                            if k > 63:
-                                break
-                            coef[ZIGZAG[k]] = _extend(reader.bits(size), size)
-                            k += 1
-                        block = coef.reshape(8, 8) * q
-                        pix = _A.T @ block @ _A + 128.0
-                        y0 = (my * s["v"] + by) * 8
-                        x0 = (mx * s["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = pix
-            mcu_count += 1
-
-    # upsample to full grid, crop, color-convert
+    # dequant + IDCT per component, upsample to full grid, crop, convert
     out = []
-    for ci, s in enumerate(scan):
-        p = planes[ci]
-        fy, fx = vmax // s["v"], hmax // s["h"]
+    for ci, c in enumerate(comps):
+        if c["tq"] not in state.qt:
+            raise ValueError("Corrupt JPEG: missing quantization table")
+        p = _idct_plane(coefs[ci], state.qt[c["tq"]])
+        fy, fx = geom.vmax // c["v"], geom.hmax // c["h"]
         if fy == 1 and fx == 2:
             p = _fancy_h2(np.clip(np.rint(p), 0, 255).astype(np.int32)
                           ).astype(np.float32)
@@ -334,7 +517,7 @@ def decode(data: bytes, tables: Optional[bytes] = None,
         rgb = out[0][..., None]
     elif len(out) == 3:
         if color_transform is None:
-            ids = tuple(s["cs"] for s in scan)
+            ids = tuple(c["id"] for c in comps)
             color_transform = ids != (0x52, 0x47, 0x42)  # not 'R','G','B'
         if color_transform:
             y, cb, cr = out

@@ -17,10 +17,10 @@ imagery needs:
 * GeoTIFF georeferencing: ModelPixelScaleTag + ModelTiepointTag (33550/33922)
   or ModelTransformationTag (34264), GeoKeyDirectory (34735) with EPSG codes,
   GeoAsciiParams (34737), GDAL_NODATA (42113)
-* new-style JPEG (compression 7, baseline sequential, JPEGTables tag) via
-  the dependency-free decoder in ``geo/jpeg.py``; progressive/arithmetic
-  JPEG and anything else falls back to PIL when available, otherwise the
-  error names the unsupported feature
+* new-style JPEG (compression 7, baseline sequential + progressive,
+  JPEGTables tag) via the dependency-free decoder in ``geo/jpeg.py``;
+  arithmetic-coded JPEG and unknown codecs fall back to PIL when
+  available, otherwise the error names the unsupported feature
 
 Geotransforms use the GDAL 6-tuple convention
 ``(ulx, xres, xrot, uly, yrot, yres)`` so tiling / mosaic math matches the
@@ -591,7 +591,7 @@ def read(path: str) -> Tuple[np.ndarray, TiffInfo]:
         else:
             chw = _read_striped(data, tags, info, compression, predictor, dt, planar)
     except ValueError as e:
-        # baseline JPEG decodes natively (geo/jpeg.py); progressive/
+        # baseline + progressive JPEG decode in-repo (geo/jpeg.py);
         # arithmetic JPEG and unknown codecs fall back to PIL if importable
         if "Unsupported TIFF compression" in str(e) or "JPEG" in str(e):
             return _pil_fallback_read(path, info, str(e)), info
