@@ -156,6 +156,9 @@ def _make_jpeg_tiff(path, arr, strips_rows=None, use_tables=False,
                     progressive=False):
     """Hand-assemble a compression-7 TIFF: PIL encodes each strip's JPEG
     stream; optionally split shared tables into tag 347."""
+    # progressive libjpeg always emits per-strip OPTIMIZED Huffman tables;
+    # moving only strip 0's tables into tag 347 would corrupt strips 1+
+    assert not (use_tables and progressive), "split-tables needs shared tables"
     h, w, c = arr.shape
     rows = strips_rows or h
     streams = []
