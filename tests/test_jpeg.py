@@ -323,8 +323,20 @@ class TestNativeJpeg:
         assert got is not None
         assert np.abs(got.astype(np.int16) - want.astype(np.int16)).max() <= 1
 
-    def test_progressive_returns_none(self):
-        data = _pil_jpeg_bytes(_gradient_scene(), quality=90, progressive=True)
+    @pytest.mark.parametrize("subsampling", [0, 2])
+    def test_progressive_matches_python(self, subsampling):
+        data = _pil_jpeg_bytes(_gradient_scene(), quality=92,
+                               subsampling=subsampling, progressive=True)
+        assert b"\xff\xc2" in data
+        want = jpeg_codec.decode(data).astype(np.int16)
+        got = self.native.jpeg_decode(data)
+        assert got is not None
+        diff = np.abs(got.astype(np.int16) - want)
+        assert diff.max() <= 2
+        assert (diff > 1).mean() < 1e-4
+
+    def test_arithmetic_returns_none(self):
+        data = b"\xff\xd8\xff\xc9" + struct.pack(">H", 8) + bytes(6) + b"\xff\xd9"
         assert self.native.jpeg_decode(data) is None
 
     def test_corrupt_returns_none(self):
@@ -338,20 +350,38 @@ class TestNativeJpeg:
         the decoder sits behind a C ABI where an escaping exception is
         fatal to the training job."""
         rng = np.random.default_rng(11)
-        data = bytearray(_pil_jpeg_bytes(_gradient_scene(48, 64), quality=85))
-        for cut in (2, 10, 100, len(data) // 2, len(data) - 1):
-            self.native.jpeg_decode(bytes(data[:cut]))
-        for _ in range(50):
-            mut = bytearray(data)
-            for _ in range(rng.integers(1, 6)):
-                mut[rng.integers(2, len(mut))] = rng.integers(0, 256)
-            self.native.jpeg_decode(bytes(mut))
+        for progressive in (False, True):
+            data = bytearray(_pil_jpeg_bytes(_gradient_scene(48, 64),
+                                             quality=85,
+                                             progressive=progressive))
+            for cut in (2, 10, 100, len(data) // 2, len(data) - 1):
+                self.native.jpeg_decode(bytes(data[:cut]))
+            for _ in range(50):
+                mut = bytearray(data)
+                for _ in range(rng.integers(1, 6)):
+                    mut[rng.integers(2, len(mut))] = rng.integers(0, 256)
+                self.native.jpeg_decode(bytes(mut))
         # forged SOF dims (65535×65535): must refuse, not allocate 12 GB
-        sof = bytes(data).find(b"\xff\xc0")
+        base = _pil_jpeg_bytes(_gradient_scene(48, 64), quality=85)
+        sof = base.find(b"\xff\xc0")
         assert sof > 0
-        forged = bytearray(data)
+        forged = bytearray(base)
         forged[sof + 5 : sof + 9] = b"\xff\xff\xff\xff"
         assert self.native.jpeg_decode(bytes(forged)) is None
+        # SOS naming Huffman slot 15: the 4-bit field must not index past
+        # the 4-entry table arrays (found by ASan fuzzing)
+        sos = base.find(b"\xff\xda")
+        assert sos > 0
+        forged = bytearray(base)
+        forged[sos + 6] = 0xFF  # first component's dc/ac selectors
+        assert self.native.jpeg_decode(bytes(forged)) is None
+        # a second SOF mid-stream must not re-write the sampling geometry
+        # the coefficient buffers were sized with (found by ASan fuzzing)
+        sof_seg = bytes(base[sof : sof + 2 + ((base[sof + 2] << 8) | base[sof + 3])])
+        twisted = bytearray(sof_seg)
+        twisted[11] = 0x11  # Y component 1x1 instead of subsampled
+        assert self.native.jpeg_decode(
+            bytes(base[:sos]) + bytes(twisted) + bytes(base[sos:])) is None
 
     def test_batch_decoders_read_jpeg_tiff(self, tmp_path):
         """JPEG tiles ride the multithreaded native batch path (training's

@@ -33,7 +33,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tests"))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=16)
-    ap.add_argument("--size", type=int, default=2048)
+    # 3072² → 36 tiles → 27 train at the 0.75 split (> the bs16 flagship
+    # batch; 2048² gave only 12 train tiles and Trainer refuses bs16)
+    ap.add_argument("--size", type=int, default=3072)
     ap.add_argument("--arch", default="xresnet34")
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--parity", action="store_true",
@@ -79,8 +81,7 @@ def main() -> None:
                                 batch_size=args.batch_size)
     predict_s = time.perf_counter() - t0
     pred = np.squeeze(pred)
-    ious = class_iou(pred, mask, 5)
-    miou = float(np.mean([i for i in ious if not np.isnan(i)]))
+    ious, miou = class_iou(pred, mask, 5)
 
     history = (bundle / "realchip_history.csv").read_text().strip().splitlines()
     n_train = len(list((tiles / "trai" / "img_tiles").glob("*.tif")))
@@ -92,7 +93,7 @@ def main() -> None:
         "epoch_s": round(train_s / args.epochs, 2),
         "predict_wall_s": round(predict_s, 1),
         "mosaic_miou": round(miou, 4),
-        "per_class_iou": [round(float(i), 4) for i in ious],
+        "per_class_iou": {str(k): round(float(v), 4) for k, v in ious.items()},
         "history_tail": history[-1] if len(history) > 1 else None,
     }
     print(json.dumps(out))

@@ -224,10 +224,11 @@ def packbits_encode(data: bytes) -> Optional[bytes]:
 
 def jpeg_decode(data: bytes, tables: Optional[bytes] = None,
                 color_transform: Optional[bool] = None) -> Optional[np.ndarray]:
-    """Native baseline-JPEG decode → (H, W, C) uint8, or None when the
-    native library is unavailable or the stream needs the Python/PIL path
-    (progressive, arithmetic, 12-bit). Mirrors geo.jpeg.decode semantics;
-    the TIFF codec tries this first and falls back transparently."""
+    """Native JPEG decode (baseline + progressive) → (H, W, C) uint8, or
+    None when the native library is unavailable or the stream needs the
+    Python/PIL path (arithmetic, lossless, 12-bit). Mirrors
+    geo.jpeg.decode semantics; the TIFF codec tries this first and falls
+    back transparently."""
     lib = get_lib()
     if lib is None:
         return None

@@ -1,17 +1,19 @@
-// Baseline-sequential JPEG decoder (SOF0/SOF1, Huffman, 8-bit, 1- or
-// 3-component, arbitrary sampling factors, restart markers, TIFF
-// JPEGTables abbreviated streams, libjpeg "fancy" chroma upsampling).
+// JPEG decoder: baseline sequential (SOF0/SOF1) and progressive (SOF2),
+// Huffman, 8-bit, 1- to 4-component, arbitrary sampling factors, restart
+// markers, TIFF JPEGTables abbreviated streams, multi-scan streams with
+// spectral selection + successive approximation, libjpeg "fancy" chroma
+// upsampling.
 //
-// Native twin of unet_tpu/geo/jpeg.py: same marker walk, same float32
-// matmul IDCT, same integer triangle-filter upsampling and rint/clip
-// rounding, so outputs agree with the Python decoder within ±1 level
-// (the only divergence is sgemm accumulation order at exact-half
-// rounding boundaries) and with libjpeg within ±2. The Python decoder's
-// Huffman loop is the production bottleneck for JPEG-in-TIFF aerial
-// tiles (the reference reads these through libgdal→libjpeg,
-// /root/reference/utils.py:39-48); this module restores native decode
-// speed with a libjpeg-style two-level Huffman lookup (8-bit lookahead
-// table + canonical maxcode fallback).
+// Native twin of unet_tpu/geo/jpeg.py: same marker walk, same
+// coefficient-buffer scan decoding, same float32 matmul IDCT, same integer
+// triangle-filter upsampling and rint/clip rounding, so outputs agree with
+// the Python decoder within ±1 level (the only divergence is sgemm
+// accumulation order at exact-half rounding boundaries) and with libjpeg
+// within ±2. The Python decoder's Huffman loop is the production
+// bottleneck for JPEG-in-TIFF aerial tiles (the reference reads these
+// through libgdal→libjpeg, /root/reference/utils.py:39-48); this module
+// restores native decode speed with a libjpeg-style two-level Huffman
+// lookup (8-bit lookahead table + canonical maxcode fallback).
 
 #include "jpegdec.h"
 
@@ -51,6 +53,7 @@ struct HuffTbl {
   int32_t mincode[17];
   int32_t valptr[17];
   uint8_t symbols[256];
+  int ntotal = 0;
   // 8-bit lookahead: for codes of length <= 8, look_nbits[peek] gives the
   // code length (0 = not resolvable in 8 bits) and look_sym[] the symbol
   uint8_t look_nbits[256];
@@ -58,6 +61,7 @@ struct HuffTbl {
 
   void build(const uint8_t counts[16], const uint8_t* syms, int total) {
     present = true;
+    ntotal = total;
     std::memcpy(symbols, syms, (size_t)total);
     int code = 0, k = 0;
     std::memset(look_nbits, 0, sizeof(look_nbits));
@@ -126,6 +130,8 @@ struct BitSrc {
     return (int)((acc >> nbits) & ((1u << nb) - 1));
   }
 
+  int bit() { return bits(1); }
+
   // returns symbol, or -1 on an invalid code
   int decode(const HuffTbl& t) {
     if (nbits < 16) fill();
@@ -139,8 +145,12 @@ struct BitSrc {
     for (int l = 9; l <= 16; l++) {
       int c = code16 >> (16 - l);
       if (t.maxcode[l] >= 0 && c <= t.maxcode[l]) {
+        // corrupt entropy data can peek a prefix below mincode[l] that
+        // still clears maxcode[l]; the index must stay inside symbols[]
+        int idx = t.valptr[l] + c - t.mincode[l];
+        if (idx < 0 || idx >= t.ntotal) return -1;
         nbits -= l;
-        return t.symbols[t.valptr[l] + c - t.mincode[l]];
+        return t.symbols[idx];
       }
     }
     return -1;
@@ -167,7 +177,7 @@ inline int jextend(int v, int nb) {
 
 struct Comp {
   int id = 0, h = 1, v = 1, tq = 0;
-  int dc = 0, ac = 0;  // from SOS
+  int dc = 0, ac = 0;  // from the current SOS
 };
 
 struct JState {
@@ -176,18 +186,22 @@ struct JState {
   HuffTbl huff_dc[4], huff_ac[4];
   int restart_interval = 0;
   bool has_frame = false;
+  bool progressive = false;
   int precision = 0, h = 0, w = 0, nc = 0;
   Comp comps[4];
+  // current scan (refreshed at each SOS)
   int scan_order[4];  // scan position -> component index
   int scan_nc = 0;
+  int ss = 0, se = 63, ah = 0, al = 0;
 };
 
-// Walk marker segments filling `state`. Returns the offset of
-// entropy-coded data after SOS, -1 if no SOS (tables-only stream is
-// fine), -2 for non-baseline coding, -3 for corrupt structure.
-long long parse_segments(const uint8_t* data, long long n, JState& st) {
-  if (n < 2 || data[0] != 0xFF || data[1] != 0xD8) return -3;
-  long long pos = 2;
+// Walk marker segments from `pos` filling `state`. Returns the offset of
+// entropy-coded data after the next SOS, -1 if no further SOS (EOI or end
+// of stream; normal for abbreviated-tables streams and after the last
+// scan), -2 for unsupported coding (arithmetic/lossless/12-bit), -3 for
+// corrupt structure.
+long long parse_segments(const uint8_t* data, long long n, long long pos,
+                         JState& st) {
   while (pos + 4 <= n) {
     if (data[pos] != 0xFF) {
       pos++;
@@ -198,7 +212,7 @@ long long parse_segments(const uint8_t* data, long long n, JState& st) {
       pos += 2;
       continue;
     }
-    if (marker == 0xD9) return -1;  // EOI before SOS
+    if (marker == 0xD9) return -1;  // EOI
     int seglen = (data[pos + 2] << 8) | data[pos + 3];
     if (pos + 2 + seglen > n || seglen < 2) return -3;
     const uint8_t* seg = data + pos + 4;
@@ -234,7 +248,11 @@ long long parse_segments(const uint8_t* data, long long n, JState& st) {
         t.build(seg + i + 1, seg + i + 17, total);
         i += 17 + total;
       }
-    } else if (marker == 0xC0 || marker == 0xC1) {  // SOF0/SOF1 baseline
+    } else if (marker == 0xC0 || marker == 0xC1 || marker == 0xC2) {
+      // SOF0/SOF1 baseline, SOF2 progressive
+      if (st.has_frame) return -3;  // a second frame would invalidate the
+                                    // coefficient-buffer geometry mid-decode
+      st.progressive = marker == 0xC2;
       if (sn < 6) return -3;
       st.precision = seg[0];
       st.h = (seg[1] << 8) | seg[2];
@@ -251,18 +269,18 @@ long long parse_segments(const uint8_t* data, long long n, JState& st) {
           return -3;
       }
       st.has_frame = true;
-    } else if (marker == 0xC2 || marker == 0xC3 || marker == 0xC5 ||
-               marker == 0xC6 || marker == 0xC7 || marker == 0xC9 ||
-               marker == 0xCA || marker == 0xCB || marker == 0xCD ||
-               marker == 0xCE || marker == 0xCF) {
-      return -2;  // progressive / arithmetic / extended
+    } else if (marker == 0xC3 || marker == 0xC5 || marker == 0xC6 ||
+               marker == 0xC7 || marker == 0xC9 || marker == 0xCA ||
+               marker == 0xCB || marker == 0xCD || marker == 0xCE ||
+               marker == 0xCF) {
+      return -2;  // arithmetic / lossless / differential
     } else if (marker == 0xDD) {  // DRI
       if (sn < 2) return -3;
       st.restart_interval = (seg[0] << 8) | seg[1];
     } else if (marker == 0xDA) {  // SOS
       if (sn < 1) return -3;
       st.scan_nc = seg[0];
-      if (st.scan_nc < 1 || st.scan_nc > 4 || sn < 1 + 2 * st.scan_nc)
+      if (st.scan_nc < 1 || st.scan_nc > 4 || sn < 4 + 2 * st.scan_nc)
         return -3;
       for (int c = 0; c < st.scan_nc; c++) {
         int cs = seg[1 + 2 * c];
@@ -272,13 +290,246 @@ long long parse_segments(const uint8_t* data, long long n, JState& st) {
         if (found < 0) return -3;
         st.comps[found].dc = seg[2 + 2 * c] >> 4;
         st.comps[found].ac = seg[2 + 2 * c] & 0xF;
+        // 4-bit fields index the 4-entry table arrays; T.81 allows 0-3
+        if (st.comps[found].dc > 3 || st.comps[found].ac > 3) return -3;
         st.scan_order[c] = found;
       }
+      st.ss = seg[1 + 2 * st.scan_nc];
+      st.se = seg[2 + 2 * st.scan_nc];
+      st.ah = seg[3 + 2 * st.scan_nc] >> 4;
+      st.al = seg[3 + 2 * st.scan_nc] & 0xF;
+      if (st.ss > 63 || st.se > 63 || st.se < st.ss) return -3;
       return pos + 2 + seglen;
     }
     pos += 2 + seglen;
   }
   return -1;
+}
+
+// Advance past a scan's entropy-coded data to the next marker that is not
+// a stuffed byte, fill byte, or restart (geo/jpeg.py _next_marker_pos).
+long long next_marker_pos(const uint8_t* data, long long n, long long pos) {
+  while (pos + 1 < n) {
+    if (data[pos] != 0xFF) {
+      pos++;
+      continue;
+    }
+    uint8_t nxt = data[pos + 1];
+    if (nxt == 0x00 || (nxt >= 0xD0 && nxt <= 0xD7))
+      pos += 2;
+    else if (nxt == 0xFF)
+      pos += 1;  // fill byte
+    else
+      return pos;
+  }
+  return n;
+}
+
+// Frame block geometry: interleaved (MCU-padded) coefficient grid per
+// component plus its non-interleaved scan grid (T.81 A.2.2).
+struct Geom {
+  int hmax = 1, vmax = 1, mcus_x = 0, mcus_y = 0;
+  int nby[4], nbx[4];  // MCU-padded storage grid
+  int sbh[4], sbw[4];  // non-interleaved scan grid
+
+  void init(const JState& st) {
+    for (int c = 0; c < st.nc; c++) {
+      if (st.comps[c].h > hmax) hmax = st.comps[c].h;
+      if (st.comps[c].v > vmax) vmax = st.comps[c].v;
+    }
+    mcus_x = (st.w + 8 * hmax - 1) / (8 * hmax);
+    mcus_y = (st.h + 8 * vmax - 1) / (8 * vmax);
+    for (int c = 0; c < st.nc; c++) {
+      nby[c] = mcus_y * st.comps[c].v;
+      nbx[c] = mcus_x * st.comps[c].h;
+      int cw = (st.w * st.comps[c].h + hmax - 1) / hmax;
+      int ch = (st.h * st.comps[c].v + vmax - 1) / vmax;
+      sbh[c] = (ch + 7) / 8;
+      sbw[c] = (cw + 7) / 8;
+    }
+  }
+};
+
+// Decode one block's contribution for the current scan into `blk`
+// (length-64 int32, zigzag order). Covers sequential DC+AC, progressive
+// DC first/refine (T.81 G.2.1) and AC first/refine with EOB runs
+// (G.2.2, jdphuff.c semantics). Returns 0, or -1 on corrupt data.
+int decode_block(BitSrc& br, int32_t* blk, const HuffTbl* dct,
+                 const HuffTbl* act, int ss, int se, int ah, int al,
+                 int* dc_pred, int ci, long long& eobrun) {
+  if (ss == 0) {
+    if (ah == 0) {  // DC first (or sequential)
+      int t = br.decode(*dct);
+      if (t < 0 || t > 15) return -1;
+      dc_pred[ci] += jextend(br.bits(t), t);
+      blk[0] = dc_pred[ci] * (1 << al);
+    } else {  // DC refinement: one correction bit
+      if (br.bit()) blk[0] |= (int32_t)1 << al;
+    }
+    if (se == 0) return 0;
+    // sequential scan: AC coefficients follow in the same scan
+    int k = 1;
+    while (k <= se) {
+      int rs = br.decode(*act);
+      if (rs < 0) return -1;
+      int run = rs >> 4, size = rs & 0xF;
+      if (size == 0) {
+        if (run == 15) {
+          k += 16;
+          continue;
+        }
+        break;  // EOB
+      }
+      k += run;
+      if (k > se) break;
+      blk[k] = jextend(br.bits(size), size) * (1 << al);
+      k++;
+    }
+    return 0;
+  }
+  if (ah == 0) {  // AC first scan
+    if (eobrun > 0) {
+      eobrun--;
+      return 0;
+    }
+    int k = ss;
+    while (k <= se) {
+      int rs = br.decode(*act);
+      if (rs < 0) return -1;
+      int run = rs >> 4, size = rs & 0xF;
+      if (size == 0) {
+        if (run != 15) {
+          eobrun = ((long long)1 << run) - 1;  // this block starts the run
+          if (run) eobrun += br.bits(run);
+          break;
+        }
+        k += 16;
+        continue;
+      }
+      k += run;
+      if (k > se) break;
+      blk[k] = jextend(br.bits(size), size) * (1 << al);
+      k++;
+    }
+    return 0;
+  }
+  // AC refinement: correction bits for already-nonzero coefficients, plus
+  // newly significant ±1<<al coefficients placed by run lengths.
+  int32_t p1 = (int32_t)1 << al;
+  int32_t m1 = -((int32_t)1 << al);
+  int k = ss;
+  if (eobrun == 0) {
+    while (k <= se) {
+      int rs = br.decode(*act);
+      if (rs < 0) return -1;
+      int run = rs >> 4, size = rs & 0xF;
+      int32_t newval = 0;
+      if (size == 0) {
+        if (run != 15) {
+          eobrun = (long long)1 << run;  // current block: tail below
+          if (run) eobrun += br.bits(run);
+          break;
+        }
+      } else {  // size is 1 by spec: a newly significant coefficient
+        newval = br.bit() ? p1 : m1;
+      }
+      // advance `run` zero-history coefficients, correcting nonzero ones
+      while (k <= se) {
+        int32_t c = blk[k];
+        if (c != 0) {
+          if (br.bit() && (c & p1) == 0) blk[k] = c + (c >= 0 ? p1 : m1);
+        } else {
+          if (run == 0) break;
+          run--;
+        }
+        k++;
+      }
+      if (newval != 0 && k <= se) blk[k] = newval;
+      k++;
+    }
+  }
+  if (eobrun > 0) {
+    while (k <= se) {  // EOB run still sends correction bits for nonzeros
+      int32_t c = blk[k];
+      if (c != 0) {
+        if (br.bit() && (c & p1) == 0) blk[k] = c + (c >= 0 ? p1 : m1);
+      }
+      k++;
+    }
+    eobrun--;
+  }
+  return 0;
+}
+
+// Decode one scan's entropy data into the coefficient buffers.
+int decode_scan(BitSrc& br, JState& st, const Geom& g,
+                std::vector<int32_t>* coefs) {
+  int ss = st.ss, se = st.se, ah = st.ah, al = st.al;
+  const HuffTbl* dct[4] = {nullptr, nullptr, nullptr, nullptr};
+  const HuffTbl* act[4] = {nullptr, nullptr, nullptr, nullptr};
+  for (int s = 0; s < st.scan_nc; s++) {
+    const Comp& cp = st.comps[st.scan_order[s]];
+    if (ss == 0 && ah == 0) {
+      if (!st.huff_dc[cp.dc].present) return -1;
+      dct[s] = &st.huff_dc[cp.dc];
+    }
+    if (se > 0) {
+      if (!st.huff_ac[cp.ac].present) return -1;
+      act[s] = &st.huff_ac[cp.ac];
+    }
+  }
+  if (ss > 0 && st.scan_nc != 1) return -1;  // progressive AC: 1 component
+
+  int dc_pred[4] = {0, 0, 0, 0};
+  long long eobrun = 0;
+  int ri = st.restart_interval;
+  long long count = 0;
+
+  if (st.scan_nc > 1) {  // interleaved over the MCU grid
+    for (int my = 0; my < g.mcus_y; my++) {
+      for (int mx = 0; mx < g.mcus_x; mx++) {
+        if (ri && count && count % ri == 0) {
+          br.align_restart();
+          dc_pred[0] = dc_pred[1] = dc_pred[2] = dc_pred[3] = 0;
+          eobrun = 0;
+        }
+        for (int s = 0; s < st.scan_nc; s++) {
+          int ci = st.scan_order[s];
+          const Comp& cp = st.comps[ci];
+          for (int by = 0; by < cp.v; by++) {
+            for (int bx = 0; bx < cp.h; bx++) {
+              int32_t* blk =
+                  coefs[ci].data() +
+                  ((size_t)(my * cp.v + by) * g.nbx[ci] + (mx * cp.h + bx)) *
+                      64;
+              if (decode_block(br, blk, dct[s], act[s], ss, se, ah, al,
+                               dc_pred, ci, eobrun) < 0)
+                return -1;
+            }
+          }
+        }
+        count++;
+      }
+    }
+  } else {  // single component: its own block grid, one block per MCU
+    int ci = st.scan_order[0];
+    for (int by = 0; by < g.sbh[ci]; by++) {
+      for (int bx = 0; bx < g.sbw[ci]; bx++) {
+        if (ri && count && count % ri == 0) {
+          br.align_restart();
+          dc_pred[0] = dc_pred[1] = dc_pred[2] = dc_pred[3] = 0;
+          eobrun = 0;
+        }
+        int32_t* blk =
+            coefs[ci].data() + ((size_t)by * g.nbx[ci] + bx) * 64;
+        if (decode_block(br, blk, dct[0], act[0], ss, se, ah, al, dc_pred,
+                         ci, eobrun) < 0)
+          return -1;
+        count++;
+      }
+    }
+  }
+  return 0;
 }
 
 // libjpeg h2v1_fancy_upsample: horizontal 2x, 3/4-1/4 triangle filter
@@ -354,7 +605,7 @@ int jpeg_dims_impl(const uint8_t* data, long long n, int* h, int* w, int* c) {
     if (marker == 0xD9 || marker == 0xDA) return -1;
     int seglen = (data[pos + 2] << 8) | data[pos + 3];
     if (pos + 2 + seglen > n || seglen < 2) return -3;
-    if (marker == 0xC0 || marker == 0xC1) {
+    if (marker == 0xC0 || marker == 0xC1 || marker == 0xC2) {
       const uint8_t* seg = data + pos + 4;
       if (seglen - 2 < 6) return -3;
       *h = (seg[1] << 8) | seg[2];
@@ -362,9 +613,9 @@ int jpeg_dims_impl(const uint8_t* data, long long n, int* h, int* w, int* c) {
       *c = seg[5];
       return 0;
     }
-    if (marker >= 0xC2 && marker <= 0xCF && marker != 0xC4 && marker != 0xC8 &&
+    if (marker >= 0xC3 && marker <= 0xCF && marker != 0xC4 && marker != 0xC8 &&
         marker != 0xCC)
-      return -2;  // non-baseline frame
+      return -2;  // arithmetic / lossless frame
     pos += 2 + seglen;
   }
   return -1;
@@ -375,149 +626,105 @@ int jpeg_decode_impl(const uint8_t* data, long long n, const uint8_t* tables,
                      int* out_w, int* out_c, int color_transform) try {
   JState st;
   if (tables && tn > 0) {
-    long long r = parse_segments(tables, tn, st);
+    if (tn < 2 || tables[0] != 0xFF || tables[1] != 0xD8) return -3;
+    long long r = parse_segments(tables, tn, 2, st);
     if (r == -2 || r == -3) return (int)r;
     // -1 (no SOS) is the normal abbreviated-tables outcome
   }
-  long long scan_pos = parse_segments(data, n, st);
-  if (scan_pos < 0) return (scan_pos == -1) ? -1 : (int)scan_pos;
-  if (!st.has_frame) return -1;
-  if (st.precision != 8) return -2;
-  if (st.scan_nc != st.nc) return -1;  // single interleaved scan only
-  if (st.h <= 0 || st.w <= 0) return -1;
-  // a forged frame header must not drive allocation past the caller's
-  // buffer: the decode needs ~(hmax*vmax+1)*h*w floats of plane scratch,
-  // so bound the frame by the destination capacity before allocating
-  if ((long long)st.h * st.w * st.nc > cap) return -3;
+  if (n < 2 || data[0] != 0xFF || data[1] != 0xD8) return -3;
 
-  int hmax = 1, vmax = 1;
-  for (int c = 0; c < st.nc; c++) {
-    if (st.comps[c].h > hmax) hmax = st.comps[c].h;
-    if (st.comps[c].v > vmax) vmax = st.comps[c].v;
+  Geom g;
+  std::vector<int32_t> coefs[4];
+  long long pos = 2;
+  int nscans = 0;
+  bool geom_ready = false;
+  while (true) {
+    long long scan_pos = parse_segments(data, n, pos, st);
+    if (scan_pos == -2 || scan_pos == -3) return (int)scan_pos;
+    if (scan_pos < 0) break;  // EOI / end: no further scans
+    if (!st.has_frame) return -1;
+    if (!geom_ready) {
+      if (st.precision != 8) return -2;
+      if (st.h <= 0 || st.w <= 0) return -1;
+      // a forged frame header must not drive allocation past the caller's
+      // buffer: coefficient + plane scratch is a few times h*w*nc, so
+      // bound the frame by the destination capacity before allocating
+      if ((long long)st.h * st.w * st.nc > cap) return -3;
+      g.init(st);
+      for (int c = 0; c < st.nc; c++)
+        coefs[c].assign((size_t)g.nby[c] * g.nbx[c] * 64, 0);
+      geom_ready = true;
+    }
+    BitSrc br{data, n, scan_pos};
+    if (decode_scan(br, st, g, coefs) < 0) return -1;
+    nscans++;
+    pos = next_marker_pos(data, n, br.pos);
   }
-  int mcus_x = (st.w + 8 * hmax - 1) / (8 * hmax);
-  int mcus_y = (st.h + 8 * vmax - 1) / (8 * vmax);
+  if (!st.has_frame || nscans == 0) return -1;
 
-  for (int s = 0; s < st.scan_nc; s++) {
-    const Comp& cp = st.comps[st.scan_order[s]];
-    if (!st.qt_present[cp.tq] || !st.huff_dc[cp.dc].present ||
-        !st.huff_ac[cp.ac].present)
-      return -1;
-  }
-
-  // decode planes (float32, MCU-padded) in scan order
-  std::vector<std::vector<float>> planes(st.scan_nc);
-  std::vector<int> pw(st.scan_nc), ph(st.scan_nc);
-  for (int s = 0; s < st.scan_nc; s++) {
-    const Comp& cp = st.comps[st.scan_order[s]];
-    pw[s] = mcus_x * 8 * cp.h;
-    ph[s] = mcus_y * 8 * cp.v;
-    planes[s].assign((size_t)pw[s] * ph[s], 0.0f);
-  }
-
-  BitSrc br{data, n, scan_pos};
-  int dc_pred[4] = {0, 0, 0, 0};
-  int ri = st.restart_interval;
-  long long mcu_count = 0;
-  float coef[64], block[64], tmp[64];
-
-  for (int my = 0; my < mcus_y; my++) {
-    for (int mx = 0; mx < mcus_x; mx++) {
-      if (ri && mcu_count && mcu_count % ri == 0) {
-        br.align_restart();
-        dc_pred[0] = dc_pred[1] = dc_pred[2] = dc_pred[3] = 0;
-      }
-      for (int s = 0; s < st.scan_nc; s++) {
-        const Comp& cp = st.comps[st.scan_order[s]];
-        const HuffTbl& dct = st.huff_dc[cp.dc];
-        const HuffTbl& act = st.huff_ac[cp.ac];
-        const float* q = st.qt[cp.tq];
-        for (int by = 0; by < cp.v; by++) {
-          for (int bx = 0; bx < cp.h; bx++) {
-            std::memset(coef, 0, sizeof(coef));
-            int t = br.decode(dct);
-            if (t < 0 || t > 15) return -1;
-            dc_pred[s] += jextend(br.bits(t), t);
-            coef[0] = (float)dc_pred[s];
-            int k = 1;
-            while (k < 64) {
-              int rs = br.decode(act);
-              if (rs < 0) return -1;
-              int run = rs >> 4, size = rs & 0xF;
-              if (size == 0) {
-                if (run == 15) {
-                  k += 16;
-                  continue;
-                }
-                break;  // EOB
-              }
-              k += run;
-              if (k > 63) break;
-              coef[kZigzag[k]] = (float)jextend(br.bits(size), size);
-              k++;
-            }
-            // dequantize + float32 two-pass IDCT (A^T (coef*Q) A + 128)
-            for (int i = 0; i < 64; i++) block[i] = coef[i] * q[i];
-            for (int u = 0; u < 8; u++)
-              for (int y = 0; y < 8; y++) {
-                float acc = 0.0f;
-                for (int v = 0; v < 8; v++)
-                  acc += block[u * 8 + v] * kBasis.a[v][y];
-                tmp[u * 8 + y] = acc;
-              }
-            float* plane = planes[s].data();
-            int y0 = (my * cp.v + by) * 8;
-            int x0 = (mx * cp.h + bx) * 8;
-            for (int x = 0; x < 8; x++) {
-              float* prow = plane + (size_t)(y0 + x) * pw[s] + x0;
-              for (int y = 0; y < 8; y++) {
-                float acc = 0.0f;
-                for (int u = 0; u < 8; u++)
-                  acc += kBasis.a[u][x] * tmp[u * 8 + y];
-                prow[y] = acc + 128.0f;
-              }
-            }
+  // dequantize + IDCT every component's blocks, upsample, color-convert —
+  // mirrors geo/jpeg.py: subsampled planes round to int before the
+  // integer triangle filters.
+  std::vector<std::vector<float>> full(st.nc);
+  std::vector<float> plane;
+  std::vector<int32_t> ibuf, obuf, rowbuf;
+  float block[64], tmp[64];
+  for (int ci = 0; ci < st.nc; ci++) {
+    const Comp& cp = st.comps[ci];
+    if (!st.qt_present[cp.tq]) return -1;
+    const float* q = st.qt[cp.tq];
+    int pw = g.nbx[ci] * 8, ph = g.nby[ci] * 8;
+    plane.assign((size_t)pw * ph, 0.0f);
+    for (int by = 0; by < g.nby[ci]; by++) {
+      for (int bx = 0; bx < g.nbx[ci]; bx++) {
+        const int32_t* zz =
+            coefs[ci].data() + ((size_t)by * g.nbx[ci] + bx) * 64;
+        for (int k = 0; k < 64; k++)
+          block[kZigzag[k]] = (float)zz[k] * q[kZigzag[k]];
+        for (int u = 0; u < 8; u++)
+          for (int y = 0; y < 8; y++) {
+            float acc = 0.0f;
+            for (int v = 0; v < 8; v++)
+              acc += block[u * 8 + v] * kBasis.a[v][y];
+            tmp[u * 8 + y] = acc;
+          }
+        int y0 = by * 8, x0 = bx * 8;
+        for (int x = 0; x < 8; x++) {
+          float* prow = plane.data() + (size_t)(y0 + x) * pw + x0;
+          for (int y = 0; y < 8; y++) {
+            float acc = 0.0f;
+            for (int u = 0; u < 8; u++) acc += kBasis.a[u][x] * tmp[u * 8 + y];
+            prow[y] = acc + 128.0f;
           }
         }
       }
-      mcu_count++;
     }
-  }
-
-  // upsample to full grid, crop, color-convert — mirrors geo/jpeg.py:
-  // subsampled planes round to int before the integer triangle filters.
-  std::vector<std::vector<float>> full(st.scan_nc);
-  std::vector<int32_t> ibuf, obuf, rowbuf;
-  for (int s = 0; s < st.scan_nc; s++) {
-    const Comp& cp = st.comps[st.scan_order[s]];
-    int fy = vmax / cp.v, fx = hmax / cp.h;
+    int fy = g.vmax / cp.v, fx = g.hmax / cp.h;
     if ((fy == 1 && fx == 2) || (fy == 2 && fx == 2)) {
-      ibuf.resize((size_t)pw[s] * ph[s]);
-      for (size_t i = 0; i < ibuf.size(); i++)
-        ibuf[i] = rint_clip255(planes[s][i]);
-      obuf.resize((size_t)pw[s] * ph[s] * (size_t)fy * fx);
+      ibuf.resize((size_t)pw * ph);
+      for (size_t i = 0; i < ibuf.size(); i++) ibuf[i] = rint_clip255(plane[i]);
+      obuf.resize((size_t)pw * ph * (size_t)fy * fx);
       if (fy == 1)
-        fancy_h2(ibuf.data(), ph[s], pw[s], obuf.data());
+        fancy_h2(ibuf.data(), ph, pw, obuf.data());
       else
-        fancy_h2v2(ibuf.data(), ph[s], pw[s], obuf.data(), rowbuf);
-      int fw = pw[s] * fx;
-      full[s].resize((size_t)st.h * st.w);
+        fancy_h2v2(ibuf.data(), ph, pw, obuf.data(), rowbuf);
+      int fw = pw * fx;
+      full[ci].resize((size_t)st.h * st.w);
       for (int y = 0; y < st.h; y++)
         for (int x = 0; x < st.w; x++)
-          full[s][(size_t)y * st.w + x] = (float)obuf[(size_t)y * fw + x];
+          full[ci][(size_t)y * st.w + x] = (float)obuf[(size_t)y * fw + x];
     } else if (fy > 1 || fx > 1) {
       // nearest-neighbor replication for other factors (np.repeat)
-      full[s].resize((size_t)st.h * st.w);
+      full[ci].resize((size_t)st.h * st.w);
       for (int y = 0; y < st.h; y++)
         for (int x = 0; x < st.w; x++)
-          full[s][(size_t)y * st.w + x] =
-              planes[s][(size_t)(y / fy) * pw[s] + (x / fx)];
+          full[ci][(size_t)y * st.w + x] =
+              plane[(size_t)(y / fy) * pw + (x / fx)];
     } else {
-      full[s].resize((size_t)st.h * st.w);
+      full[ci].resize((size_t)st.h * st.w);
       for (int y = 0; y < st.h; y++)
-        std::memcpy(full[s].data() + (size_t)y * st.w,
-                    planes[s].data() + (size_t)y * pw[s],
-                    (size_t)st.w * sizeof(float));
+        std::memcpy(full[ci].data() + (size_t)y * st.w,
+                    plane.data() + (size_t)y * pw, (size_t)st.w * sizeof(float));
     }
   }
 
@@ -530,9 +737,8 @@ int jpeg_decode_impl(const uint8_t* data, long long n, const uint8_t* tables,
     if (color_transform >= 0) {
       convert = color_transform != 0;
     } else {
-      convert = !(st.comps[st.scan_order[0]].id == 0x52 &&
-                  st.comps[st.scan_order[1]].id == 0x47 &&
-                  st.comps[st.scan_order[2]].id == 0x42);
+      convert = !(st.comps[0].id == 0x52 && st.comps[1].id == 0x47 &&
+                  st.comps[2].id == 0x42);
     }
     const float* yp = full[0].data();
     const float* cbp = full[1].data();
