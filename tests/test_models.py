@@ -22,6 +22,26 @@ class TestLayerPrimitives:
         got = pixel_shuffle(jnp.moveaxis(jnp.asarray(x), 1, 3), 2)
         np.testing.assert_allclose(np.moveaxis(np.asarray(got), 3, 1), want, rtol=1e-4, atol=1e-6)
 
+    def test_mxu_permutation_convs_bit_exact(self):
+        # The one-hot conv formulations must match the reshape/transpose
+        # references bit-for-bit (layers.py space_to_depth_mxu /
+        # depth_to_space_mxu), including odd channel counts and bf16.
+        from unet_tpu.models.layers import (depth_to_space,
+                                            depth_to_space_mxu,
+                                            space_to_depth,
+                                            space_to_depth_mxu)
+
+        rng = np.random.default_rng(2)
+        for c, dtype in [(3, np.float32), (64, np.float32), (12, jnp.bfloat16)]:
+            x = jnp.asarray(rng.normal(size=(2, 6, 10, c)), dtype)
+            np.testing.assert_array_equal(
+                np.asarray(space_to_depth_mxu(x, 2), np.float32),
+                np.asarray(space_to_depth(x, 2), np.float32))
+            y = jnp.asarray(rng.normal(size=(2, 6, 10, c * 4)), dtype)
+            np.testing.assert_array_equal(
+                np.asarray(depth_to_space_mxu(y, 2), np.float32),
+                np.asarray(depth_to_space(y, 2), np.float32))
+
     def test_icnr_subkernels_equal(self):
         k = icnr_init()(jax.random.PRNGKey(0), (1, 1, 16, 32))
         k = np.asarray(k).reshape(16, 8, 4)

@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import (ConvLayer, ConvTransposeUp, PixelShuffleICNR, ResBlock,
-                     SelfAttention, batch_norm, pixel_shuffle, space_to_depth)
+                     SelfAttention, batch_norm, pixel_shuffle,
+                     space_to_depth_mxu)
 from .xresnet import ARCHS, XResNetBody
 
 
@@ -185,7 +186,7 @@ class DynamicUnet(nn.Module):
             # logits with a sub-pixel head (1×1 → n_out·4, pixel-shuffle) —
             # same per-pixel expressiveness, ~30% of the tail FLOPs.
             if self.last_cross:
-                y = jnp.concatenate([y, space_to_depth(orig, 2)], axis=-1)
+                y = jnp.concatenate([y, space_to_depth_mxu(orig, 2)], axis=-1)
                 ni_rb = y.shape[-1]
                 y = ResBlockNoNorm(ni_rb // 2 if self.bottle else ni_rb,
                                    norm=self.decoder_norm, dtype=self.dtype,

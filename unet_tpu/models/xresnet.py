@@ -17,7 +17,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .layers import ConvLayer, ResBlock, depth_to_space, max_pool_torch
+from .layers import (ConvLayer, ResBlock, depth_to_space_mxu,
+                     max_pool_torch)
 
 # architecture name -> (expansion, blocks per stage)
 ARCHS: Dict[str, Tuple[int, Tuple[int, ...]]] = {
@@ -90,7 +91,7 @@ class XResNetBody(nn.Module):
                           name="stem_0")(x, train)
             x = ConvLayer(128, 3, 1, dtype=self.dtype, name="stem_1")(x, train)
             x = ConvLayer(256, 3, 1, dtype=self.dtype, name="stem_2")(x, train)
-            stem_out = depth_to_space(x, 2)  # skip at /2, 64 channels
+            stem_out = depth_to_space_mxu(x, 2)  # skip at /2, 64 channels
             # (a reshape-max 2×2 pool was tried here: its equality-mask
             # backward traced SLOWER than k3's select_and_scatter — keep the
             # parity pool)
