@@ -79,6 +79,9 @@ def build_parser() -> argparse.ArgumentParser:
                     help="accumulate the merge mosaic in HBM (overlap-blend "
                          "on device) instead of per-tile host round trips")
     pr.add_argument("--batch-size", type=int, default=16)
+    pr.add_argument("--spatial", type=int, default=1,
+                    help="shard tile height over this many devices (GSPMD "
+                         "halo exchange) for tiles too big for one chip")
     pr.add_argument("--reference-quirks", action="store_true")
 
     sv = sub.add_parser("serve", help="predict whole GeoTIFFs directly (no tile files)")
@@ -95,6 +98,9 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--specific-class", type=int, default=None)
     sv.add_argument("--class-zero", action="store_true",
                     help="0 = nodata: decrement classes on write")
+    sv.add_argument("--spatial", type=int, default=1,
+                    help="shard patch height over this many devices (GSPMD "
+                         "halo exchange) for patches too big for one chip")
     sv.add_argument("--stream", action="store_true",
                     help="force the O(band)-memory streamed path (windowed "
                          "reads, strip-streamed output); automatic for "
@@ -155,6 +161,7 @@ def cli(argv=None) -> int:
                                args.aoi, args.year, args.validation_vision,
                                class_zero=args.class_zero,
                                batch_size=args.batch_size,
+                               spatial=args.spatial,
                                device_merge=args.device_merge,
                                reference_quirks=args.reference_quirks)
         print(f"Predictions at {out}")
@@ -169,7 +176,8 @@ def cli(argv=None) -> int:
                                 regression=args.regression,
                                 all_classes=args.all_classes,
                                 specific_class=args.specific_class,
-                                class_zero=args.class_zero)
+                                class_zero=args.class_zero,
+                                spatial=args.spatial)
             print(f"{len(outs)} mosaics in {args.output}")
         elif args.stream:
             from .predict import predict_raster_streamed
@@ -181,7 +189,8 @@ def cli(argv=None) -> int:
                                     regression=args.regression,
                                     all_classes=args.all_classes,
                                     specific_class=args.specific_class,
-                                    class_zero=args.class_zero)
+                                    class_zero=args.class_zero,
+                                    spatial=args.spatial)
             print(f"Mosaic streamed to {args.output}")
         else:
             from .predict import predict_raster
@@ -193,7 +202,8 @@ def cli(argv=None) -> int:
                                        regression=args.regression,
                                        all_classes=args.all_classes,
                                        specific_class=args.specific_class,
-                                       class_zero=args.class_zero)
+                                       class_zero=args.class_zero,
+                                       spatial=args.spatial)
             if arr is None:
                 print(f"Mosaic streamed to {args.output}")
             else:

@@ -1,11 +1,20 @@
-"""Device mesh + sharding for data-parallel training and inference.
+"""Device mesh + sharding for data- and spatially-parallel training/inference.
 
 The reference is strictly single-GPU (``.cuda()``, train.py:187; no
 torch.distributed anywhere — SURVEY.md §2.3). The TPU-native scale-out is
-data parallelism over a 1-D ``jax.sharding.Mesh``: the batch axis is sharded
-across chips, parameters are replicated, and XLA inserts the gradient
+sharding over a ``jax.sharding.Mesh``: the batch axis is sharded across the
+``data`` mesh axis, parameters are replicated, and XLA inserts the gradient
 all-reduce over ICI. Nothing here is NCCL-shaped — collectives are
 compiler-inserted from sharding annotations.
+
+Beyond data parallelism the mesh can carry a second ``space`` axis that
+shards tile HEIGHT across chips (``make_mesh(spatial=N)``): GSPMD spatially
+partitions every convolution/pool, inserting halo exchanges over ICI at
+shard boundaries, and batch-norm statistics/loss reduces become cross-chip
+all-reduces automatically. This serves tiles whose activations exceed one
+chip's HBM (e.g. 4096² patches in ``unet_tpu serve --spatial N``) — a
+capability with no reference analogue (the reference caps patch size by GPU
+RAM, params_and_main.py:51).
 
 Multi-host: call ``jax.distributed.initialize()`` before building the mesh
 and the same code spans slices (DCN between hosts, ICI within).
@@ -20,6 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPACE_AXIS = "space"
 
 
 def init_distributed(coordinator_address: Optional[str] = None,
@@ -37,15 +47,44 @@ def init_distributed(coordinator_address: Optional[str] = None,
     )
 
 
-def make_mesh(devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """1-D data-parallel mesh over all (or the given) devices."""
+def make_mesh(devices: Optional[Sequence[jax.Device]] = None,
+              spatial: int = 1) -> Mesh:
+    """Data-parallel mesh, optionally with a second spatial axis.
+
+    ``spatial=1``: 1-D ``(data,)`` mesh over all (or the given) devices.
+    ``spatial=N``: 2-D ``(data, space)`` mesh — batches shard over ``data``
+    and tile height over ``space`` (see module docstring). Adjacent devices
+    land on the same ``space`` group so halo exchanges ride neighbor ICI
+    links.
+    """
     if devices is None:
         devices = jax.devices()
+    devices = list(devices)
+    if spatial > 1:
+        if len(devices) % spatial:
+            raise ValueError(
+                f"{len(devices)} devices do not divide into spatial={spatial} groups")
+        grid = np.asarray(devices).reshape(len(devices) // spatial, spatial)
+        return Mesh(grid, (DATA_AXIS, SPACE_AXIS))
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def data_size(mesh: Mesh) -> int:
+    """Number of ways the batch axis is sharded."""
+    return dict(mesh.shape).get(DATA_AXIS, mesh.devices.size)
+
+
+def spatial_size(mesh: Mesh) -> int:
+    """Number of ways tile height is sharded (1 on a data-only mesh)."""
+    return dict(mesh.shape).get(SPACE_AXIS, 1)
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) axis across the data axis."""
+    """Shard the leading (batch) axis across ``data`` — and, on a 2-D mesh,
+    the second (height) axis across ``space``. Works for (B,H,W,C) images
+    and (B,H,W) masks alike."""
+    if SPACE_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS))
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
@@ -67,8 +106,9 @@ def replicate_tree(mesh: Mesh, tree: Any) -> Any:
 
 
 def pad_to_multiple(batch_size: int, mesh: Mesh) -> int:
-    """Smallest batch size ≥ requested that divides evenly over the mesh."""
-    n = mesh.devices.size
+    """Smallest batch size ≥ requested that divides evenly over the mesh's
+    data axis (the only axis the batch shards over)."""
+    n = data_size(mesh)
     return ((batch_size + n - 1) // n) * n
 
 

@@ -49,17 +49,25 @@ def _apply_class_zero(arr: np.ndarray, nodata: Optional[float]) -> np.ndarray:
 class Predictor:
     """Loads a model bundle and predicts batches of equally-sized tiles."""
 
-    def __init__(self, bundle: str, batch_size: int = 16, devices=None):
+    def __init__(self, bundle: str, batch_size: int = 16, devices=None,
+                 spatial: int = 1):
         self.model, self.variables, self.manifest = load_bundle(bundle, best=False)
         self.regression = bool(self.manifest.get("enable_regression", False))
         self.dtype_str = self.manifest.get("dtype_str", "int8")
         self.normalize = self.manifest.get("normalize", "reference")
         self.scale = image_scale(self.dtype_str, self.normalize)
         devices = devices or jax.devices()
-        n = len(devices)
+        spatial = max(1, int(spatial))
+        if spatial > len(devices):
+            raise ValueError(
+                f"spatial={spatial} needs that many devices, have {len(devices)}")
+        # spatial>1 shards tile HEIGHT across the mesh's `space` axis (GSPMD
+        # inserts conv halo exchanges): patches whose activations exceed one
+        # chip's HBM — e.g. 4096² serve windows — run without host tiling.
+        n = len(devices) // spatial
         while n > 1 and batch_size % n:
             n -= 1
-        self.mesh = make_mesh(devices[:n])
+        self.mesh = make_mesh(devices[:n * spatial], spatial=spatial)
         self.variables = replicate_tree(self.mesh, self.variables)
         self.batch_size = batch_size
         self._jit_forward = None
@@ -136,6 +144,7 @@ def predict_raster_streamed(
     specific_class: Optional[int] = None,
     class_zero: bool = False,
     devices=None,
+    spatial: int = 1,
     predictor: Optional["Predictor"] = None,
 ) -> str:
     """Whole-scene prediction at arbitrary AOI size in O(band) memory.
@@ -153,7 +162,8 @@ def predict_raster_streamed(
     from ..tiling.windows import generate_windows
 
     if predictor is None:
-        predictor = Predictor(predict_model, batch_size=batch_size, devices=devices)
+        predictor = Predictor(predict_model, batch_size=batch_size,
+                              devices=devices, spatial=spatial)
     regression = predictor.regression or regression
     info = tiff_codec.read_info(raster_path)
     h, w = info.height, info.width
@@ -261,6 +271,7 @@ def predict_raster(
     specific_class: Optional[int] = None,
     class_zero: bool = False,
     devices=None,
+    spatial: int = 1,
     device_budget_bytes: int = 4 << 30,
     host_budget_bytes: int = 16 << 30,
     predictor: Optional["Predictor"] = None,
@@ -286,7 +297,8 @@ def predict_raster(
     from ..tiling.windows import generate_windows
 
     if predictor is None:
-        predictor = Predictor(predict_model, batch_size=batch_size, devices=devices)
+        predictor = Predictor(predict_model, batch_size=batch_size,
+                              devices=devices, spatial=spatial)
     regression = predictor.regression or regression
 
     from ..geo import tiff as _tc
@@ -392,7 +404,8 @@ def serve_scenes(
     out_dir.mkdir(parents=True, exist_ok=True)
     predictor = Predictor(predict_model,
                           batch_size=kwargs.get("batch_size", 16),
-                          devices=kwargs.get("devices"))
+                          devices=kwargs.get("devices"),
+                          spatial=kwargs.get("spatial", 1))
     outs = []
     for rp in raster_paths:
         out = out_dir / (Path(rp).stem + suffix)
@@ -417,6 +430,7 @@ def save_predictions(
     class_zero: bool = False,
     batch_size: int = 16,
     devices=None,
+    spatial: int = 1,
     device_merge: bool = False,
     reference_quirks: bool = False,
 ) -> Path:
@@ -429,7 +443,8 @@ def save_predictions(
     ``large_file`` quantization happens once at the end rather than per
     tile — slightly more accurate than the reference's int8 accumulation).
     """
-    predictor = Predictor(predict_model, batch_size=batch_size, devices=devices)
+    predictor = Predictor(predict_model, batch_size=batch_size, devices=devices,
+                          spatial=spatial)
     if regression != predictor.regression:
         regression = predictor.regression
     # the reference gates large_file int8 stretching on TRUTHY specific_class

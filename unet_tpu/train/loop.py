@@ -108,16 +108,27 @@ class TrainerConfig:
     checkpoint_every: int = 0  # epochs; 0 = off
     resume: bool = False
     devices: Optional[Sequence[Any]] = None
+    # Shard tile HEIGHT over this many devices per batch shard (2-D
+    # (data, space) mesh — parallel/mesh.py): GSPMD spatially partitions
+    # every conv with halo exchanges and turns batch-norm statistics into
+    # cross-chip reduces automatically. For training tiles too large for
+    # one chip's HBM; equality with the unsharded step is pinned in
+    # tests/test_spatial.py.
+    spatial: int = 1
     profile_dir: Optional[str] = None  # jax.profiler trace of epoch 0
 
 
-def _choose_devices(batch_size: int, devices) -> list:
-    """Largest device count that evenly divides the batch."""
+def _choose_devices(batch_size: int, devices, spatial: int = 1) -> list:
+    """Largest device count whose data-axis share evenly divides the batch;
+    returns ``n_data * spatial`` devices."""
     devices = list(devices if devices is not None else jax.devices())
-    n = len(devices)
+    if spatial > 1 and len(devices) < spatial:
+        raise ValueError(
+            f"spatial={spatial} needs that many devices, have {len(devices)}")
+    n = len(devices) // max(1, spatial)
     while n > 1 and batch_size % n != 0:
         n -= 1
-    return devices[:n]
+    return devices[:n * max(1, spatial)]
 
 
 def _monitor_defaults(monitor: Optional[str], regression: bool) -> Tuple[str, Callable]:
@@ -165,7 +176,9 @@ class Trainer:
                                    regression=cfg.regression,
                                    reference_quirks=cfg.reference_quirks)
         self.dtype_str = get_datatype(self.data_path)
-        self.mesh = make_mesh(_choose_devices(cfg.batch_size, cfg.devices))
+        self.mesh = make_mesh(
+            _choose_devices(cfg.batch_size, cfg.devices, cfg.spatial),
+            spatial=cfg.spatial)
 
         self.train_loader = TileLoader(
             self.dataset, self.dataset.train_files, cfg.batch_size,
