@@ -111,6 +111,20 @@ def build_parser() -> argparse.ArgumentParser:
     bench.add_argument("--batch-size", type=int, default=16)
     bench.add_argument("--steps", type=int, default=20)
 
+    ex = sub.add_parser(
+        "export",
+        help="freeze a trained bundle as an AOT serving artifact (.uta): "
+             "the prediction program compiled to StableHLO + raw weights — "
+             "loads without model-building code, no pickle, symbolic batch",
+    )
+    ex.add_argument("model", help="trained bundle (model_path/description)")
+    ex.add_argument("output", help="artifact path (convention: .uta)")
+    ex.add_argument("--platforms", default="cpu,tpu",
+                    help="comma-separated lowering targets (default cpu,tpu)")
+    ex.add_argument("--patch-size", type=int, default=None,
+                    help="override the manifest tile size (spatial dims are "
+                         "static per artifact; batch is symbolic)")
+
     iw = sub.add_parser(
         "import-weights",
         help="convert a torch/fastai xresnet state_dict (.pth) to a "
@@ -121,6 +135,22 @@ def build_parser() -> argparse.ArgumentParser:
     iw.add_argument("-o", "--out", default=None,
                     help="output .npz (default: <state_dict>.npz)")
     return ap
+
+
+def _artifact_predictor(args):
+    """If the model argument is a frozen .uta serving artifact, load it and
+    return an ArtifactPredictor for the ``predictor=`` pass-through; None
+    means the normal bundle path. Artifacts carry a sharding-free frozen
+    program, so --spatial needs a live bundle."""
+    from .predict import is_artifact, load_artifact
+
+    if not is_artifact(args.model):
+        return None
+    if getattr(args, "spatial", 1) > 1:
+        raise SystemExit(
+            "--spatial needs a live model bundle (the artifact's program is "
+            "frozen without sharding); export is for single-chip serving")
+    return load_artifact(args.model, batch_size=args.batch_size)
 
 
 def cli(argv=None) -> int:
@@ -163,7 +193,8 @@ def cli(argv=None) -> int:
                                batch_size=args.batch_size,
                                spatial=args.spatial,
                                device_merge=args.device_merge,
-                               reference_quirks=args.reference_quirks)
+                               reference_quirks=args.reference_quirks,
+                               predictor=_artifact_predictor(args))
         print(f"Predictions at {out}")
     elif args.command == "serve":
         if len(args.raster) > 1:
@@ -177,7 +208,8 @@ def cli(argv=None) -> int:
                                 all_classes=args.all_classes,
                                 specific_class=args.specific_class,
                                 class_zero=args.class_zero,
-                                spatial=args.spatial)
+                                spatial=args.spatial,
+                                predictor=_artifact_predictor(args))
             print(f"{len(outs)} mosaics in {args.output}")
         elif args.stream:
             from .predict import predict_raster_streamed
@@ -190,7 +222,8 @@ def cli(argv=None) -> int:
                                     all_classes=args.all_classes,
                                     specific_class=args.specific_class,
                                     class_zero=args.class_zero,
-                                    spatial=args.spatial)
+                                    spatial=args.spatial,
+                                    predictor=_artifact_predictor(args))
             print(f"Mosaic streamed to {args.output}")
         else:
             from .predict import predict_raster
@@ -203,7 +236,8 @@ def cli(argv=None) -> int:
                                        all_classes=args.all_classes,
                                        specific_class=args.specific_class,
                                        class_zero=args.class_zero,
-                                       spatial=args.spatial)
+                                       spatial=args.spatial,
+                                       predictor=_artifact_predictor(args))
             if arr is None:
                 print(f"Mosaic streamed to {args.output}")
             else:
@@ -212,6 +246,13 @@ def cli(argv=None) -> int:
         from .bench import run_benchmark
 
         run_benchmark(tile=args.tile, batch_size=args.batch_size, steps=args.steps)
+    elif args.command == "export":
+        from .predict import export_artifact
+
+        out = export_artifact(args.model, args.output,
+                              platforms=args.platforms.split(","),
+                              patch_size=args.patch_size)
+        print(f"Serving artifact at {out}")
     elif args.command == "import-weights":
         from .models.torch_import import import_weights_cli
 

@@ -1,0 +1,193 @@
+"""AOT serving artifacts: the prediction program, compiled and frozen.
+
+The reference deploys by unpickling the entire fastai ``Learner``
+(``load_learner``, /root/reference/predict.py:161): serving needs the full
+fastai/torch training stack installed at matching versions, and unpickling
+executes arbitrary code. The TPU-native deployment artifact is the
+prediction program itself — the scaled-input → probabilities forward
+(:func:`unet_tpu.predict.predict.make_probs_fn`) AOT-lowered to StableHLO
+with ``jax.export`` and serialized next to the raw weight arrays:
+
+* **No model-building code at load time.** The program is frozen MLIR;
+  ``load_artifact`` never calls ``build_unet``, so an artifact keeps
+  serving across framework upgrades that change model topology
+  (``tpu_opt_topology`` version bumps invalidate *bundles*, not artifacts).
+* **No pickle.** The container is a plain ``.npz`` read with
+  ``allow_pickle=False``; nothing in it can execute on load.
+* **Multi-platform.** Lowered for both ``cpu`` and ``tpu`` by default —
+  one artifact serves on a TPU pod and on a CPU fallback box.
+* **Symbolic batch.** The batch dimension is exported as a symbolic shape,
+  so any batch size runs without retracing or padding.
+
+Weights ride OUTSIDE the program (as npz members, passed as call
+arguments) rather than baked in as constants: 40M-parameter constant
+tensors bloat the HLO by ~165 MB and break remote-compile transports
+(BENCH_NOTES.md round 2: giant jit constants → HTTP 413 through the axon
+tunnel), while argument-passed weights live in HBM like any other input.
+
+Container layout (single ``.npz`` file, numpy's zip format)::
+
+    __utaot__   uint8[]  header JSON: format version, patch size, bands,
+                         n_out, regression/scale/codes, jax version,
+                         export platforms
+    __program__ uint8[]  jax.export serialized StableHLO program
+    w00000...   ndarray  weight leaves in jax.tree flatten order
+
+The exported call signature is ``fn(leaves: list[Array], x: f32[b,H,W,C])``
+with raw tile values in ``x`` — dtype scaling (data.augment.image_scale)
+is baked into the program, so callers never need the training-time
+normalization mode.
+"""
+
+from __future__ import annotations
+
+import json
+from functools import partial
+from pathlib import Path
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAGIC = "utaot-v1"
+_DEFAULT_PLATFORMS = ("cpu", "tpu")
+
+
+def export_artifact(
+    bundle: str,
+    out_path: str,
+    platforms: Sequence[str] = _DEFAULT_PLATFORMS,
+    patch_size: Optional[int] = None,
+) -> Path:
+    """Export a trained bundle as a frozen serving artifact.
+
+    ``patch_size`` overrides the manifest's tile size (the spatial dims are
+    static in the program — one artifact per tile size; the batch dim is
+    symbolic).
+    """
+    from jax import export as jexport
+
+    from ..data.augment import image_scale
+    from ..train.checkpoint import load_bundle
+    from .predict import make_probs_fn
+
+    model, variables, manifest = load_bundle(bundle, best=False)
+    regression = bool(manifest.get("enable_regression", False))
+    dtype_str = manifest.get("dtype_str", "int8")
+    normalize = manifest.get("normalize", "reference")
+    scale = image_scale(dtype_str, normalize)
+    patch = int(patch_size or manifest["patch_size"])
+    bands = int(manifest["number_of_bands"])
+    n_out = int(manifest["n_out"])
+
+    probs_fn = make_probs_fn(model, regression)
+    leaves, treedef = jax.tree_util.tree_flatten(variables)
+
+    def fwd(leaves, x):
+        return probs_fn(jax.tree_util.tree_unflatten(treedef, leaves), x * scale)
+
+    b = jexport.symbolic_shape("b")[0]
+    leaf_types = [jax.ShapeDtypeStruct(np.shape(l), l.dtype) for l in leaves]
+    x_type = jax.ShapeDtypeStruct((b, patch, patch, bands), jnp.float32)
+    exported = jexport.export(jax.jit(fwd), platforms=list(platforms))(
+        leaf_types, x_type)
+    program = np.frombuffer(exported.serialize(), dtype=np.uint8)
+
+    header = {
+        "format": MAGIC,
+        "patch_size": patch,
+        "number_of_bands": bands,
+        "n_out": n_out,
+        "enable_regression": regression,
+        "dtype_str": dtype_str,
+        "normalize": normalize,
+        "scale": scale,
+        "codes": manifest.get("codes"),
+        "description": manifest.get("description"),
+        "ARCHITECTURE": manifest.get("ARCHITECTURE"),
+        "platforms": list(platforms),
+        "jax_version": jax.__version__,
+        "n_leaves": len(leaves),
+    }
+    members = {
+        "__utaot__": np.frombuffer(
+            json.dumps(header).encode("utf-8"), dtype=np.uint8),
+        "__program__": program,
+    }
+    for i, leaf in enumerate(leaves):
+        members[f"w{i:05d}"] = np.asarray(leaf)
+    out = Path(out_path)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    with open(out, "wb") as f:
+        np.savez(f, **members)
+    return out
+
+
+def is_artifact(path) -> bool:
+    """True if ``path`` is a serving artifact (vs a model bundle)."""
+    p = Path(path)
+    if not p.is_file():
+        return False
+    try:
+        with np.load(p, allow_pickle=False) as z:
+            return "__utaot__" in z.files
+    except (OSError, ValueError):
+        return False
+
+
+class ArtifactPredictor:
+    """Drop-in :class:`~unet_tpu.predict.predict.Predictor` over a frozen
+    artifact — same ``predict_batch_device``/``predict_batch``/``manifest``
+    surface, so every prediction path (``predict_raster``,
+    ``predict_raster_streamed``, ``serve_scenes``, ``save_predictions``)
+    accepts one via their ``predictor=`` argument.
+
+    Runs on the default device; the frozen program carries its own
+    sharding-free lowering (use a live ``Predictor`` for ``spatial>1``)."""
+
+    def __init__(self, path: str, batch_size: int = 16):
+        from jax import export as jexport
+
+        with np.load(Path(path), allow_pickle=False) as z:
+            header = json.loads(bytes(z["__utaot__"]).decode("utf-8"))
+            if header.get("format") != MAGIC:
+                raise ValueError(
+                    f"{path}: unknown artifact format {header.get('format')!r}")
+            program = bytes(z["__program__"])
+            leaves = [z[f"w{i:05d}"] for i in range(int(header["n_leaves"]))]
+        self._exported = jexport.deserialize(bytearray(program))
+        self.header = header
+        # Predictor-compatible surface: downstream code reads these
+        self.manifest = header
+        self.regression = bool(header["enable_regression"])
+        self.dtype_str = header["dtype_str"]
+        self.normalize = header["normalize"]
+        self.scale = float(header["scale"])
+        self.batch_size = batch_size
+        self._leaves = [jnp.asarray(l) for l in leaves]
+        call = self._exported.call
+        from .predict import finish_probs
+
+        @partial(jax.jit, static_argnames=("folded", "quantize_int8"))
+        def fwd(leaves, x, folded=False, quantize_int8=False):
+            return finish_probs(call(leaves, x), folded, quantize_int8)
+
+        self._jit_forward = fwd
+
+    def predict_batch_device(self, images: np.ndarray, folded: bool = False,
+                             quantize_int8: bool = False) -> jax.Array:
+        """(B,H,W,C) raw tile values → device probs/values; see
+        :func:`unet_tpu.predict.predict.finish_probs` for the
+        ``folded``/``quantize_int8`` layouts. Scaling happens inside the
+        frozen program."""
+        x = jnp.asarray(images, jnp.float32)
+        return self._jit_forward(self._leaves, x, folded=folded,
+                                 quantize_int8=quantize_int8)
+
+    def predict_batch(self, images: np.ndarray) -> np.ndarray:
+        return np.asarray(self.predict_batch_device(images))
+
+
+def load_artifact(path: str, batch_size: int = 16) -> ArtifactPredictor:
+    return ArtifactPredictor(path, batch_size=batch_size)

@@ -46,6 +46,60 @@ def _apply_class_zero(arr: np.ndarray, nodata: Optional[float]) -> np.ndarray:
     return np.where(arr == 0, fill, arr - 1)
 
 
+def make_probs_fn(model, regression: bool):
+    """Build the scaled-input → per-pixel probabilities forward.
+
+    Returns ``fn(variables, x)`` mapping a pre-scaled (B,H,W,C) batch to
+    (B,H,W,n_out) softmax probabilities (or (B,H,W,1) values in regression
+    mode). Shared by the live :class:`Predictor` and the AOT serving export
+    (:mod:`unet_tpu.predict.artifact`), so the two deployment paths cannot
+    drift."""
+
+    def probs_fn(variables, x):
+        from ..models.layers import pixel_shuffle
+
+        logits = model.apply(variables, x, train=False, fold_logits=True)
+        if logits.shape[1] != x.shape[1]:
+            # tpu_opt sub-pixel head: softmax in the FOLDED (B,H/2,W/2,C·4)
+            # layout — per pixel it reduces over the same C values as the
+            # full-res softmax (bit-identical); one pixel-shuffle of
+            # finished probabilities at the end. (Measured
+            # throughput-neutral vs shuffling first — XLA fuses the padded
+            # intermediates either way — but this shape feeds the
+            # folded/device-merge outputs without relying on that fusion.)
+            b, h2, w2, crr = logits.shape
+            if regression:
+                return pixel_shuffle(logits, 2)[..., 0:1]
+            c = crr // 4
+            ps = jax.nn.softmax(logits.reshape(b, h2, w2, c, 4), axis=3)
+            return pixel_shuffle(ps.reshape(b, h2, w2, crr), 2)
+        return logits[..., 0:1] if regression else jax.nn.softmax(logits, axis=-1)
+
+    return probs_fn
+
+
+def finish_probs(probs: jax.Array, folded: bool = False,
+                 quantize_int8: bool = False) -> jax.Array:
+    """Post-ops on finished probabilities, shared by both deployment paths.
+
+    ``quantize_int8``: the reference's ``large_file`` probs stretch (×31,
+    round-half-even — predict.py:245-249 ``np.around``) applied ON DEVICE:
+    softmax probs are provably ≤ 1, the rounding matches ``np.around``
+    bit-for-bit, and the device→host fetch shrinks 4×.
+
+    ``folded``: return (B, H, W·n_out) instead — TPU stores an HBM array's
+    minor dim padded to 128 lanes, so a persistent (B,H,W,C≪128) output
+    physically occupies ~128/C× its logical bytes; folding inside the jit
+    writes the dense layout once (free for downstream DeviceMosaic
+    accumulation)."""
+    if quantize_int8:
+        probs = jnp.rint(probs * ((128 / 4) - 1)).astype(jnp.int8)
+    if folded:
+        b, h, w, c = probs.shape
+        probs = probs.reshape(b, h, w * c)
+    return probs
+
+
 class Predictor:
     """Loads a model bundle and predicts batches of equally-sized tiles."""
 
@@ -89,40 +143,11 @@ class Predictor:
         fetch shrinks 4×."""
         x = shard_batch(self.mesh, images.astype(np.float32) * self.scale)
         if self._jit_forward is None:
-            model = self.model
-            regression = self.regression
+            probs_fn = make_probs_fn(self.model, self.regression)
 
             @partial(jax.jit, static_argnames=("folded", "quantize_int8"))
             def fwd(variables, x, folded=False, quantize_int8=False):
-                from ..models.layers import pixel_shuffle
-
-                logits = model.apply(variables, x, train=False, fold_logits=True)
-                if logits.shape[1] != x.shape[1]:
-                    # tpu_opt sub-pixel head: softmax in the FOLDED
-                    # (B,H/2,W/2,C·4) layout — per pixel it reduces over the
-                    # same C values as the full-res softmax (bit-identical);
-                    # one pixel-shuffle of finished probabilities at the
-                    # end. (Measured throughput-neutral vs shuffling first —
-                    # XLA fuses the padded intermediates either way — but
-                    # this shape feeds the folded/device-merge outputs
-                    # without relying on that fusion.)
-                    b, h2, w2, crr = logits.shape
-                    if regression:
-                        probs = pixel_shuffle(logits, 2)[..., 0:1]
-                    else:
-                        c = crr // 4
-                        ps = jax.nn.softmax(
-                            logits.reshape(b, h2, w2, c, 4), axis=3)
-                        probs = pixel_shuffle(ps.reshape(b, h2, w2, crr), 2)
-                else:
-                    probs = logits[..., 0:1] if regression \
-                        else jax.nn.softmax(logits, axis=-1)
-                if quantize_int8:
-                    probs = jnp.rint(probs * ((128 / 4) - 1)).astype(jnp.int8)
-                if folded:
-                    b, h, w, c = probs.shape
-                    probs = probs.reshape(b, h, w * c)
-                return probs
+                return finish_probs(probs_fn(variables, x), folded, quantize_int8)
 
             self._jit_forward = fwd
         return self._jit_forward(self.variables, x, folded=folded,
@@ -402,10 +427,11 @@ def serve_scenes(
     """
     out_dir = Path(output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
-    predictor = Predictor(predict_model,
-                          batch_size=kwargs.get("batch_size", 16),
-                          devices=kwargs.get("devices"),
-                          spatial=kwargs.get("spatial", 1))
+    predictor = kwargs.pop("predictor", None) or Predictor(
+        predict_model,
+        batch_size=kwargs.get("batch_size", 16),
+        devices=kwargs.get("devices"),
+        spatial=kwargs.get("spatial", 1))
     outs = []
     for rp in raster_paths:
         out = out_dir / (Path(rp).stem + suffix)
@@ -433,6 +459,7 @@ def save_predictions(
     spatial: int = 1,
     device_merge: bool = False,
     reference_quirks: bool = False,
+    predictor=None,
 ) -> Path:
     """Predict every ``*.tif`` tile under ``predict_path``.
 
@@ -442,9 +469,14 @@ def save_predictions(
     mosaic to fit device memory; probabilities accumulate in float32, so
     ``large_file`` quantization happens once at the end rather than per
     tile — slightly more accurate than the reference's int8 accumulation).
+
+    ``predictor`` overrides bundle loading — pass an
+    :class:`~unet_tpu.predict.artifact.ArtifactPredictor` to serve a frozen
+    AOT artifact.
     """
-    predictor = Predictor(predict_model, batch_size=batch_size, devices=devices,
-                          spatial=spatial)
+    if predictor is None:
+        predictor = Predictor(predict_model, batch_size=batch_size,
+                              devices=devices, spatial=spatial)
     if regression != predictor.regression:
         regression = predictor.regression
     # the reference gates large_file int8 stretching on TRUTHY specific_class
