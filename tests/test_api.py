@@ -100,3 +100,33 @@ class TestPlots:
         hist = [{"train_loss": 1.0 - 0.1 * i, "valid_loss": 0.9 - 0.1 * i} for i in range(5)]
         out = plot_training_overview(hist, "dice_multi", tmp_path / "h.png")
         assert out.exists()
+
+
+class TestCompileCache:
+    """Persistent XLA compilation cache wiring (utils/compile_cache.py)."""
+
+    def _reset(self, monkeypatch):
+        from unet_tpu.utils import compile_cache
+
+        monkeypatch.setattr(compile_cache, "_ENABLED", None)
+        return compile_cache
+
+    def test_env_dir_selected(self, tmp_path, monkeypatch):
+        cc = self._reset(monkeypatch)
+        monkeypatch.setenv("UNET_TPU_COMPILE_CACHE", str(tmp_path / "c"))
+        assert cc.enable_compile_cache() == str(tmp_path / "c")
+        assert (tmp_path / "c").is_dir()
+        # idempotent: later calls (and env changes) don't reconfigure
+        monkeypatch.setenv("UNET_TPU_COMPILE_CACHE", "off")
+        assert cc.enable_compile_cache() == str(tmp_path / "c")
+
+    def test_off_switch(self, monkeypatch):
+        cc = self._reset(monkeypatch)
+        monkeypatch.setenv("UNET_TPU_COMPILE_CACHE", "off")
+        assert cc.enable_compile_cache() is None
+        assert cc.enable_compile_cache() is None  # stays off
+
+    def test_explicit_dir_argument(self, tmp_path, monkeypatch):
+        cc = self._reset(monkeypatch)
+        monkeypatch.delenv("UNET_TPU_COMPILE_CACHE", raising=False)
+        assert cc.enable_compile_cache(str(tmp_path / "d")) == str(tmp_path / "d")

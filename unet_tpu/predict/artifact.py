@@ -149,6 +149,10 @@ class ArtifactPredictor:
     def __init__(self, path: str, batch_size: int = 16):
         from jax import export as jexport
 
+        from ..utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
+
         with np.load(Path(path), allow_pickle=False) as z:
             header = json.loads(bytes(z["__utaot__"]).decode("utf-8"))
             if header.get("format") != MAGIC:

@@ -105,6 +105,9 @@ class Predictor:
 
     def __init__(self, bundle: str, batch_size: int = 16, devices=None,
                  spatial: int = 1):
+        from ..utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
         self.model, self.variables, self.manifest = load_bundle(bundle, best=False)
         self.regression = bool(self.manifest.get("enable_regression", False))
         self.dtype_str = self.manifest.get("dtype_str", "int8")

@@ -153,6 +153,9 @@ def _fmt_time(seconds: float) -> str:
 
 class Trainer:
     def __init__(self, cfg: TrainerConfig):
+        from ..utils.compile_cache import enable_compile_cache
+
+        enable_compile_cache()
         if cfg.existing_model:
             # transfer learning: the bundle defines the architecture (the
             # reference's load_learner keeps the pickled model, train.py:225)
