@@ -116,3 +116,43 @@ def test_predict_cli_class_zero_applied(tmp_path, rng, monkeypatch):
     m.cli(["predict", "model", "tiles", "--class-zero", "--device-merge"])
     assert captured["class_zero"] is True
     assert captured["device_merge"] is True
+
+
+def test_train_multihost_flags_parse():
+    """Multi-host bring-up is CLI-reachable (init_distributed wiring)."""
+    from unet_tpu.__main__ import build_parser
+
+    args = build_parser().parse_args(
+        ["train", "d", "--model-path", "m", "--coordinator", "host:1234",
+         "--num-processes", "2", "--process-id", "1"])
+    assert args.coordinator == "host:1234"
+    assert args.num_processes == 2 and args.process_id == 1
+    # absent by default so single-host runs skip jax.distributed entirely
+    args = build_parser().parse_args(["train", "d", "--model-path", "m"])
+    assert args.coordinator is None and args.num_processes is None
+
+
+class TestDoctor:
+    def test_doctor_cli_passes_here(self, capsys):
+        from unet_tpu.__main__ import cli
+
+        assert cli(["doctor"]) == 0
+        out = capsys.readouterr().out
+        for name in ("versions", "devices", "mesh", "native decoder",
+                     "optional deps", "compile cache"):
+            assert name in out
+        assert "all checks passed" in out
+
+    def test_doctor_isolates_failures(self, monkeypatch, capsys):
+        """A failing check reports, never raises, and flips the exit code."""
+        from unet_tpu.__main__ import cli
+        from unet_tpu.utils import doctor
+
+        def boom():
+            raise RuntimeError("decoder exploded")
+
+        monkeypatch.setattr(doctor, "_native", boom)
+        assert cli(["doctor"]) == 1
+        out = capsys.readouterr().out
+        assert "FAIL" in out and "decoder exploded" in out
+        assert "all checks passed" not in out

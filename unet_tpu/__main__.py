@@ -60,6 +60,13 @@ def build_parser() -> argparse.ArgumentParser:
     tr.add_argument("--reference-quirks", action="store_true")
     tr.add_argument("--profile-dir", default=None,
                     help="write a jax.profiler trace of the first epoch here")
+    tr.add_argument("--coordinator", default=None,
+                    help="multi-host training: coordinator host:port "
+                         "(run the same command on every host)")
+    tr.add_argument("--num-processes", type=int, default=None,
+                    help="multi-host: total number of host processes")
+    tr.add_argument("--process-id", type=int, default=None,
+                    help="multi-host: this host's rank (0-based)")
 
     pr = sub.add_parser("predict", help="predict tiles with a trained bundle")
     pr.add_argument("model")
@@ -105,6 +112,12 @@ def build_parser() -> argparse.ArgumentParser:
                     help="force the O(band)-memory streamed path (windowed "
                          "reads, strip-streamed output); automatic for "
                          "scenes whose mosaic would exceed host RAM")
+
+    dr = sub.add_parser("doctor", help="diagnose the environment: devices, "
+                                       "mesh, native decoder, codecs, cache")
+    dr.add_argument("--pallas", action="store_true",
+                    help="also probe the Pallas kernel toolchain (compiles "
+                         "two tiny kernels; slow on remote-compile rigs)")
 
     bench = sub.add_parser("bench", help="run the training/inference benchmark")
     bench.add_argument("--tile", type=int, default=512)
@@ -168,6 +181,12 @@ def cli(argv=None) -> int:
     elif args.command == "train":
         from .train.loop import TrainerConfig, train_model
 
+        if args.coordinator or args.num_processes:
+            from .parallel.mesh import init_distributed
+
+            init_distributed(coordinator_address=args.coordinator,
+                             num_processes=args.num_processes,
+                             process_id=args.process_id)
         cw = args.class_weights
         if cw not in ("even", "weighted"):
             cw = json.loads(cw)
@@ -242,6 +261,11 @@ def cli(argv=None) -> int:
                 print(f"Mosaic streamed to {args.output}")
             else:
                 print(f"Mosaic {arr.shape} written to {args.output}")
+    elif args.command == "doctor":
+        from .utils.doctor import run_doctor
+
+        results = run_doctor(pallas=args.pallas)
+        return 0 if all(ok for ok, _ in results.values()) else 1
     elif args.command == "bench":
         from .bench import run_benchmark
 
