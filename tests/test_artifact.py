@@ -179,3 +179,49 @@ class TestCLI:
         with pytest.raises(SystemExit, match="live model bundle"):
             cli(["serve", str(art), sp, str(tmp_path / "o.tif"),
                  "--patch-size", "64", "--spatial", "2"])
+
+
+class TestTTA:
+    """4-fold dihedral test-time augmentation (predict.py::tta_probs_fn)."""
+
+    def test_tta_equals_manual_flip_average(self, bundle):
+        out, _ = bundle
+        plain = Predictor(str(out), batch_size=2)
+        tta = Predictor(str(out), batch_size=2, tta=True)
+        x = np.random.default_rng(5).integers(
+            0, 255, (2, 64, 64, 3)).astype(np.uint8)
+        parts = [np.asarray(plain.predict_batch(x))]
+        for ax in ((2,), (1,), (1, 2)):
+            fx = np.flip(x, ax)
+            parts.append(np.flip(np.asarray(plain.predict_batch(fx)), ax))
+        manual = np.mean(parts, axis=0)
+        got = np.asarray(tta.predict_batch(x))
+        np.testing.assert_allclose(got, manual, atol=2e-2)
+        # probabilities still normalized per pixel
+        np.testing.assert_allclose(got.sum(-1), 1.0, atol=1e-2)
+
+    def test_tta_on_artifact(self, bundle):
+        out, art = bundle
+        live = Predictor(str(out), batch_size=2, tta=True)
+        frozen = load_artifact(str(art), batch_size=2, tta=True)
+        x = np.random.default_rng(6).integers(
+            0, 255, (2, 64, 64, 3)).astype(np.uint8)
+        np.testing.assert_allclose(frozen.predict_batch(x),
+                                   live.predict_batch(x), atol=2e-2)
+
+    def test_cli_flag(self, bundle, tmp_path):
+        from unet_tpu.__main__ import build_parser, cli
+        from unet_tpu.geo import tiff as tiff_codec
+
+        args = build_parser().parse_args(["serve", "m", "s.tif", "o.tif", "--tta"])
+        assert args.tta
+        out, _ = bundle
+        scene = np.random.default_rng(7).integers(
+            0, 255, (3, 64, 64)).astype(np.uint8)
+        sp = str(tmp_path / "s.tif")
+        tiff_codec.write(sp, scene, transform=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0))
+        served = str(tmp_path / "tta.tif")
+        assert cli(["serve", str(out), sp, served,
+                    "--patch-size", "64", "--batch-size", "2", "--tta"]) == 0
+        arr, _ = tiff_codec.read(served)
+        assert arr.dtype == np.uint8 and arr.shape == (1, 64, 64)

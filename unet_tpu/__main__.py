@@ -89,6 +89,9 @@ def build_parser() -> argparse.ArgumentParser:
     pr.add_argument("--spatial", type=int, default=1,
                     help="shard tile height over this many devices (GSPMD "
                          "halo exchange) for tiles too big for one chip")
+    pr.add_argument("--tta", action="store_true",
+                    help="4-fold flip test-time augmentation (averaged "
+                         "probabilities; 4x forward cost)")
     pr.add_argument("--reference-quirks", action="store_true")
 
     sv = sub.add_parser("serve", help="predict whole GeoTIFFs directly (no tile files)")
@@ -108,6 +111,9 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--spatial", type=int, default=1,
                     help="shard patch height over this many devices (GSPMD "
                          "halo exchange) for patches too big for one chip")
+    sv.add_argument("--tta", action="store_true",
+                    help="4-fold flip test-time augmentation (averaged "
+                         "probabilities; 4x forward cost)")
     sv.add_argument("--stream", action="store_true",
                     help="force the O(band)-memory streamed path (windowed "
                          "reads, strip-streamed output); automatic for "
@@ -163,7 +169,8 @@ def _artifact_predictor(args):
         raise SystemExit(
             "--spatial needs a live model bundle (the artifact's program is "
             "frozen without sharding); export is for single-chip serving")
-    return load_artifact(args.model, batch_size=args.batch_size)
+    return load_artifact(args.model, batch_size=args.batch_size,
+                         tta=getattr(args, "tta", False))
 
 
 def cli(argv=None) -> int:
@@ -211,6 +218,7 @@ def cli(argv=None) -> int:
                                class_zero=args.class_zero,
                                batch_size=args.batch_size,
                                spatial=args.spatial,
+                               tta=args.tta,
                                device_merge=args.device_merge,
                                reference_quirks=args.reference_quirks,
                                predictor=_artifact_predictor(args))
@@ -228,6 +236,7 @@ def cli(argv=None) -> int:
                                 specific_class=args.specific_class,
                                 class_zero=args.class_zero,
                                 spatial=args.spatial,
+                                tta=args.tta,
                                 predictor=_artifact_predictor(args))
             print(f"{len(outs)} mosaics in {args.output}")
         elif args.stream:
@@ -242,6 +251,7 @@ def cli(argv=None) -> int:
                                     specific_class=args.specific_class,
                                     class_zero=args.class_zero,
                                     spatial=args.spatial,
+                                    tta=args.tta,
                                     predictor=_artifact_predictor(args))
             print(f"Mosaic streamed to {args.output}")
         else:
@@ -256,6 +266,7 @@ def cli(argv=None) -> int:
                                        specific_class=args.specific_class,
                                        class_zero=args.class_zero,
                                        spatial=args.spatial,
+                                       tta=args.tta,
                                        predictor=_artifact_predictor(args))
             if arr is None:
                 print(f"Mosaic streamed to {args.output}")

@@ -146,12 +146,13 @@ class ArtifactPredictor:
     Runs on the default device; the frozen program carries its own
     sharding-free lowering (use a live ``Predictor`` for ``spatial>1``)."""
 
-    def __init__(self, path: str, batch_size: int = 16):
+    def __init__(self, path: str, batch_size: int = 16, tta: bool = False):
         from jax import export as jexport
 
         from ..utils.compile_cache import enable_compile_cache
 
         enable_compile_cache()
+        self.tta = bool(tta)
 
         with np.load(Path(path), allow_pickle=False) as z:
             header = json.loads(bytes(z["__utaot__"]).decode("utf-8"))
@@ -170,12 +171,17 @@ class ArtifactPredictor:
         self.scale = float(header["scale"])
         self.batch_size = batch_size
         self._leaves = [jnp.asarray(l) for l in leaves]
+        from .predict import finish_probs, tta_probs_fn
+
+        # TTA composes OUTSIDE the frozen program (flip → call → unflip →
+        # average), so even artifacts exported before the feature existed
+        # gain it
         call = self._exported.call
-        from .predict import finish_probs
+        probs_fn = tta_probs_fn(call) if self.tta else call
 
         @partial(jax.jit, static_argnames=("folded", "quantize_int8"))
         def fwd(leaves, x, folded=False, quantize_int8=False):
-            return finish_probs(call(leaves, x), folded, quantize_int8)
+            return finish_probs(probs_fn(leaves, x), folded, quantize_int8)
 
         self._jit_forward = fwd
 
@@ -193,5 +199,6 @@ class ArtifactPredictor:
         return np.asarray(self.predict_batch_device(images))
 
 
-def load_artifact(path: str, batch_size: int = 16) -> ArtifactPredictor:
-    return ArtifactPredictor(path, batch_size=batch_size)
+def load_artifact(path: str, batch_size: int = 16,
+                  tta: bool = False) -> ArtifactPredictor:
+    return ArtifactPredictor(path, batch_size=batch_size, tta=tta)

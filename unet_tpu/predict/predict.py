@@ -78,6 +78,26 @@ def make_probs_fn(model, regression: bool):
     return probs_fn
 
 
+def tta_probs_fn(probs_fn):
+    """Wrap a probs forward with 4-fold dihedral test-time augmentation.
+
+    Averages probabilities over {identity, hflip, vflip, hvflip} — the
+    shape-safe subgroup (rot90 needs square tiles), matching the training
+    augmentation distribution (flips, data/augment.py). 4× the forward
+    FLOPs for a measurable quality bump on boundary pixels; a standard
+    aerial-segmentation serving technique the reference lacks (its
+    predict is a single unaugmented ``learn.predict``, predict.py:193).
+    """
+
+    def fn(variables, x):
+        acc = probs_fn(variables, x)
+        for ax in ((2,), (1,), (1, 2)):
+            acc = acc + jnp.flip(probs_fn(variables, jnp.flip(x, ax)), ax)
+        return acc / 4
+
+    return fn
+
+
 def finish_probs(probs: jax.Array, folded: bool = False,
                  quantize_int8: bool = False) -> jax.Array:
     """Post-ops on finished probabilities, shared by both deployment paths.
@@ -104,10 +124,11 @@ class Predictor:
     """Loads a model bundle and predicts batches of equally-sized tiles."""
 
     def __init__(self, bundle: str, batch_size: int = 16, devices=None,
-                 spatial: int = 1):
+                 spatial: int = 1, tta: bool = False):
         from ..utils.compile_cache import enable_compile_cache
 
         enable_compile_cache()
+        self.tta = bool(tta)
         self.model, self.variables, self.manifest = load_bundle(bundle, best=False)
         self.regression = bool(self.manifest.get("enable_regression", False))
         self.dtype_str = self.manifest.get("dtype_str", "int8")
@@ -147,6 +168,8 @@ class Predictor:
         x = shard_batch(self.mesh, images.astype(np.float32) * self.scale)
         if self._jit_forward is None:
             probs_fn = make_probs_fn(self.model, self.regression)
+            if self.tta:
+                probs_fn = tta_probs_fn(probs_fn)
 
             @partial(jax.jit, static_argnames=("folded", "quantize_int8"))
             def fwd(variables, x, folded=False, quantize_int8=False):
@@ -173,6 +196,7 @@ def predict_raster_streamed(
     class_zero: bool = False,
     devices=None,
     spatial: int = 1,
+    tta: bool = False,
     predictor: Optional["Predictor"] = None,
 ) -> str:
     """Whole-scene prediction at arbitrary AOI size in O(band) memory.
@@ -191,7 +215,7 @@ def predict_raster_streamed(
 
     if predictor is None:
         predictor = Predictor(predict_model, batch_size=batch_size,
-                              devices=devices, spatial=spatial)
+                              devices=devices, spatial=spatial, tta=tta)
     regression = predictor.regression or regression
     info = tiff_codec.read_info(raster_path)
     h, w = info.height, info.width
@@ -300,6 +324,7 @@ def predict_raster(
     class_zero: bool = False,
     devices=None,
     spatial: int = 1,
+    tta: bool = False,
     device_budget_bytes: int = 4 << 30,
     host_budget_bytes: int = 16 << 30,
     predictor: Optional["Predictor"] = None,
@@ -326,7 +351,7 @@ def predict_raster(
 
     if predictor is None:
         predictor = Predictor(predict_model, batch_size=batch_size,
-                              devices=devices, spatial=spatial)
+                              devices=devices, spatial=spatial, tta=tta)
     regression = predictor.regression or regression
 
     from ..geo import tiff as _tc
@@ -434,7 +459,8 @@ def serve_scenes(
         predict_model,
         batch_size=kwargs.get("batch_size", 16),
         devices=kwargs.get("devices"),
-        spatial=kwargs.get("spatial", 1))
+        spatial=kwargs.get("spatial", 1),
+        tta=kwargs.get("tta", False))
     outs = []
     for rp in raster_paths:
         out = out_dir / (Path(rp).stem + suffix)
@@ -460,6 +486,7 @@ def save_predictions(
     batch_size: int = 16,
     devices=None,
     spatial: int = 1,
+    tta: bool = False,
     device_merge: bool = False,
     reference_quirks: bool = False,
     predictor=None,
@@ -479,7 +506,7 @@ def save_predictions(
     """
     if predictor is None:
         predictor = Predictor(predict_model, batch_size=batch_size,
-                              devices=devices, spatial=spatial)
+                              devices=devices, spatial=spatial, tta=tta)
     if regression != predictor.regression:
         regression = predictor.regression
     # the reference gates large_file int8 stretching on TRUTHY specific_class
