@@ -96,6 +96,8 @@ class Params:
     predict_batch_size: int = 16
     checkpoint_every: int = 0
     resume: bool = False
+    spatial: int = 1  # shard tile height over N devices (parallel/mesh.py)
+    tta: bool = False  # 4-fold flip TTA at prediction (predict.py)
 
 
 def apply_extra_parameter_gate(p: Params) -> Params:
@@ -159,6 +161,7 @@ def trainer_config(p: Params) -> TrainerConfig:
         seed=p.seed,
         checkpoint_every=p.checkpoint_every,
         resume=p.resume,
+        spatial=p.spatial,
     )
 
 
@@ -203,6 +206,8 @@ def main(p: Params) -> None:
             p.validation_vision,
             class_zero=p.class_zero,
             batch_size=p.predict_batch_size,
+            spatial=p.spatial,
+            tta=p.tta,
             reference_quirks=p.reference_quirks,
         )
 
