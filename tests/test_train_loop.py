@@ -200,3 +200,70 @@ class TestTopologySafetyRails:
             assert len(history) == 1
         finally:
             t2.close()
+
+
+class TestGradAccum:
+    """Gradient accumulation (TrainerConfig.grad_accum): sequential
+    microbatches inside one jitted step, grads averaged exactly.
+
+    The equality construction: a batch [X; X] of duplicated halves has
+    identical per-microbatch and full-batch BN statistics, so the
+    accumulated step must match the plain step bit-for-bit up to f32
+    reduction order — loss AND updated params (running batch_stats
+    legitimately differ: two EMA updates vs one)."""
+
+    def _trainer(self, base, accum):
+        from unet_tpu.train.loop import Trainer, TrainerConfig
+
+        return Trainer(TrainerConfig(
+            data_path=base, model_path=base / f"m{accum}", description="ga",
+            batch_size=4, epochs=1, lr=1e-4, arch="xresnet18",
+            codes=["a", "b", "c"], tpu_opt=True, bf16=False, seed=0,
+            transforms=False, grad_accum=accum))
+
+    def test_duplicated_batch_equality(self, tmp_path):
+        import jax
+        from unet_tpu.geo import tiff as tiff_codec
+
+        rng = np.random.default_rng(0)
+        for split in ("trai", "vali"):
+            (tmp_path / split / "img_tiles").mkdir(parents=True)
+            (tmp_path / split / "mask_tiles").mkdir(parents=True)
+            for i in range(4):
+                img = rng.integers(0, 255, (3, 64, 64)).astype(np.uint8)
+                msk = rng.integers(0, 3, (64, 64)).astype(np.uint8)
+                tiff_codec.write(str(tmp_path / split / "img_tiles" / f"t_{i}.tif"), img)
+                tiff_codec.write(str(tmp_path / split / "mask_tiles" / f"t_{i}.tif"), msk)
+        half_i = rng.integers(0, 255, (2, 64, 64, 3)).astype(np.float32)
+        half_m = rng.integers(0, 3, (2, 64, 64)).astype(np.int32)
+        images = np.concatenate([half_i, half_i])  # microbatches = the halves
+        masks = np.concatenate([half_m, half_m])
+
+        results = {}
+        for accum in (1, 2):
+            trainer = self._trainer(tmp_path, accum)
+            try:
+                state = trainer.init_state()
+                train_step, _ = trainer._build_steps(trainer.tx)
+                from unet_tpu.parallel.mesh import shard_batch
+
+                new_state, loss = train_step(
+                    state, shard_batch(trainer.mesh, images),
+                    shard_batch(trainer.mesh, masks), jax.random.PRNGKey(1))
+                leaves = jax.tree_util.tree_leaves(new_state.params)
+                results[accum] = (float(jax.block_until_ready(loss)),
+                                  [np.asarray(l) for l in leaves])
+            finally:
+                trainer.close()
+        np.testing.assert_allclose(results[1][0], results[2][0], rtol=1e-5)
+        for a, b in zip(results[1][1], results[2][1]):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-7)
+
+    def test_indivisible_raises(self, tmp_path):
+        from unet_tpu.train.loop import Trainer, TrainerConfig
+
+        (tmp_path / "trai" / "img_tiles").mkdir(parents=True)
+        with pytest.raises(ValueError, match="grad_accum"):
+            Trainer(TrainerConfig(
+                data_path=tmp_path, model_path=tmp_path / "m", description="x",
+                batch_size=3, grad_accum=2, codes=["a", "b"]))

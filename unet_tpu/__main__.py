@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="TPU-optimized topology (s2d stem, slim decoder, "
                          "half-res tail) — the default; --no-tpu-opt selects "
                          "the reference-shaped parity topology")
+    tr.add_argument("--grad-accum", type=int, default=1,
+                    help="split each batch into N sequential microbatches "
+                         "inside the jitted step: effective batches beyond "
+                         "one chip's HBM (BN uses microbatch statistics)")
     tr.add_argument("--seed", type=int, default=0)
     tr.add_argument("--reference-quirks", action="store_true")
     tr.add_argument("--profile-dir", default=None,
@@ -205,6 +209,7 @@ def cli(argv=None) -> int:
             self_attention=args.self_attention, existing_model=args.existing_model,
             lr_finder=args.lr_finder, pretrained_weights=args.pretrained_weights,
             tpu_opt=args.tpu_opt, seed=args.seed,
+            grad_accum=args.grad_accum,
             reference_quirks=args.reference_quirks,
             profile_dir=args.profile_dir,
         ))

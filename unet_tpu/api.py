@@ -98,6 +98,7 @@ class Params:
     resume: bool = False
     spatial: int = 1  # shard tile height over N devices (parallel/mesh.py)
     tta: bool = False  # 4-fold flip TTA at prediction (predict.py)
+    grad_accum: int = 1  # sequential microbatches per step (train/loop.py)
 
 
 def apply_extra_parameter_gate(p: Params) -> Params:
@@ -162,6 +163,7 @@ def trainer_config(p: Params) -> TrainerConfig:
         checkpoint_every=p.checkpoint_every,
         resume=p.resume,
         spatial=p.spatial,
+        grad_accum=p.grad_accum,
     )
 
 

@@ -115,18 +115,28 @@ class TrainerConfig:
     # one chip's HBM; equality with the unsharded step is pinned in
     # tests/test_spatial.py.
     spatial: int = 1
+    # Split each batch into this many sequential microbatches inside one
+    # jitted step (lax.scan): gradients average exactly (mean-of-means ==
+    # full mean for equal microbatches), activations are allocated per
+    # MICRObatch, so effective batch sizes beyond one chip's HBM train
+    # without remat. BatchNorm uses per-microbatch statistics (torch
+    # grad-accum semantics). batch_size must divide evenly.
+    grad_accum: int = 1
     profile_dir: Optional[str] = None  # jax.profiler trace of epoch 0
 
 
-def _choose_devices(batch_size: int, devices, spatial: int = 1) -> list:
-    """Largest device count whose data-axis share evenly divides the batch;
-    returns ``n_data * spatial`` devices."""
+def _choose_devices(batch_size: int, devices, spatial: int = 1,
+                    grad_accum: int = 1) -> list:
+    """Largest device count whose data-axis share evenly divides the batch
+    (the MICRObatch under gradient accumulation — every scan iteration must
+    shard evenly); returns ``n_data * spatial`` devices."""
     devices = list(devices if devices is not None else jax.devices())
     if spatial > 1 and len(devices) < spatial:
         raise ValueError(
             f"spatial={spatial} needs that many devices, have {len(devices)}")
+    micro = batch_size // max(1, grad_accum)
     n = len(devices) // max(1, spatial)
-    while n > 1 and batch_size % n != 0:
+    while n > 1 and micro % n != 0:
         n -= 1
     return devices[:n * max(1, spatial)]
 
@@ -156,6 +166,10 @@ class Trainer:
         from ..utils.compile_cache import enable_compile_cache
 
         enable_compile_cache()
+        if cfg.grad_accum > 1 and cfg.batch_size % cfg.grad_accum:
+            raise ValueError(
+                f"batch_size {cfg.batch_size} must divide into "
+                f"grad_accum={cfg.grad_accum} microbatches")
         if cfg.existing_model:
             # transfer learning: the bundle defines the architecture (the
             # reference's load_learner keeps the pickled model, train.py:225)
@@ -180,7 +194,8 @@ class Trainer:
                                    reference_quirks=cfg.reference_quirks)
         self.dtype_str = get_datatype(self.data_path)
         self.mesh = make_mesh(
-            _choose_devices(cfg.batch_size, cfg.devices, cfg.spatial),
+            _choose_devices(cfg.batch_size, cfg.devices, cfg.spatial,
+                            cfg.grad_accum),
             spatial=cfg.spatial)
 
         self.train_loader = TileLoader(
@@ -308,6 +323,8 @@ class Trainer:
                 else loss_fn(preds, masks)
             return loss, (preds, new_stats)
 
+        accum = max(1, cfg.grad_accum)
+
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, images, masks, key):
             images, masks = augment_batch(
@@ -316,9 +333,35 @@ class Trainer:
                 normalize=cfg.normalize, split="train", split_idx=cfg.split_idx,
                 reference_quirks=cfg.reference_quirks,
             )
-            (loss, (_, new_stats)), grads = jax.value_and_grad(
-                forward_loss, has_aux=True
-            )(state.params, state.batch_stats, images, masks, True)
+            if accum == 1:
+                (loss, (_, new_stats)), grads = jax.value_and_grad(
+                    forward_loss, has_aux=True
+                )(state.params, state.batch_stats, images, masks, True)
+            else:
+                # sequential microbatches in one compiled step: activations
+                # live per scan iteration, gradients sum in a params-sized
+                # carry — grad of the pixel-mean loss decomposes exactly
+                # into the mean of equal-sized microbatch grads; BN stats
+                # evolve microbatch-to-microbatch (TrainerConfig.grad_accum)
+                b = images.shape[0]
+                mb_imgs = images.reshape(accum, b // accum, *images.shape[1:])
+                mb_msks = masks.reshape(accum, b // accum, *masks.shape[1:])
+
+                def body(carry, mb):
+                    stats, gsum, lsum = carry
+                    (l, (_, stats)), g = jax.value_and_grad(
+                        forward_loss, has_aux=True
+                    )(state.params, stats, mb[0], mb[1], True)
+                    gsum = jax.tree_util.tree_map(jnp.add, gsum, g)
+                    return (stats, gsum, lsum + l), None
+
+                zeros = jax.tree_util.tree_map(
+                    lambda p: jnp.zeros(p.shape, jnp.float32), state.params)
+                (new_stats, gsum, lsum), _ = jax.lax.scan(
+                    body, (state.batch_stats, zeros, jnp.float32(0)),
+                    (mb_imgs, mb_msks))
+                grads = jax.tree_util.tree_map(lambda g: g / accum, gsum)
+                loss = lsum / accum
             updates, new_opt = tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             return (
