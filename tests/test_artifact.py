@@ -225,3 +225,45 @@ class TestTTA:
                     "--patch-size", "64", "--batch-size", "2", "--tta"]) == 0
         arr, _ = tiff_codec.read(served)
         assert arr.dtype == np.uint8 and arr.shape == (1, 64, 64)
+
+
+class TestQuantized:
+    """int8 weight-quantized artifacts (export_artifact(quantize='int8'))."""
+
+    @pytest.fixture(scope="class")
+    def quant_art(self, bundle, tmp_path_factory):
+        out, _ = bundle
+        p = tmp_path_factory.mktemp("quant") / "q.uta"
+        return export_artifact(str(out), str(p), platforms=["cpu"],
+                               quantize="int8")
+
+    def test_size_shrinks_4x(self, bundle, quant_art):
+        _, art = bundle
+        ratio = Path(quant_art).stat().st_size / Path(art).stat().st_size
+        assert ratio < 0.35, f"quantized/f32 size ratio {ratio:.2f}"
+        with np.load(quant_art, allow_pickle=False) as z:
+            header = json.loads(bytes(z["__utaot__"]).decode())
+            assert header["quantize"] == "int8"
+            dtypes = {str(z[f"w{i:05d}"].dtype)
+                      for i in range(header["n_leaves"])}
+        assert "int8" in dtypes and "float32" in dtypes  # kernels q, BN f32
+
+    def test_quality_vs_live(self, bundle, quant_art):
+        out, _ = bundle
+        live = Predictor(str(out), batch_size=2)
+        q = load_artifact(str(quant_art), batch_size=2)
+        x = np.random.default_rng(8).integers(
+            0, 255, (4, 64, 64, 3)).astype(np.uint8)
+        p_live = live.predict_batch(x)
+        p_q = q.predict_batch(x)
+        agree = np.mean(np.argmax(p_q, -1) == np.argmax(p_live, -1))
+        assert agree > 0.97, f"quantized class agreement {agree}"
+        # this 1-epoch model's softmax saturates, so near-tie pixels flip
+        # hard — bound the MEAN probability drift, not the max
+        assert float(np.mean(np.abs(p_q - p_live))) < 0.02
+
+    def test_bad_mode_raises(self, bundle, tmp_path):
+        out, _ = bundle
+        with pytest.raises(ValueError, match="quantize"):
+            export_artifact(str(out), str(tmp_path / "x.uta"),
+                            platforms=["cpu"], quantize="int4")

@@ -147,6 +147,9 @@ def build_parser() -> argparse.ArgumentParser:
     ex.add_argument("--patch-size", type=int, default=None,
                     help="override the manifest tile size (spatial dims are "
                          "static per artifact; batch is symbolic)")
+    ex.add_argument("--quantize", choices=["int8"], default=None,
+                    help="per-channel int8 weight quantization: ~4x smaller "
+                         "artifact, on-device dequantization, bf16 compute")
 
     iw = sub.add_parser(
         "import-weights",
@@ -291,7 +294,8 @@ def cli(argv=None) -> int:
 
         out = export_artifact(args.model, args.output,
                               platforms=args.platforms.split(","),
-                              patch_size=args.patch_size)
+                              patch_size=args.patch_size,
+                              quantize=args.quantize)
         print(f"Serving artifact at {out}")
     elif args.command == "import-weights":
         from .models.torch_import import import_weights_cli

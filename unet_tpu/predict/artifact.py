@@ -54,17 +54,42 @@ MAGIC = "utaot-v1"
 _DEFAULT_PLATFORMS = ("cpu", "tpu")
 
 
+def _quantizable(leaf: np.ndarray) -> bool:
+    """Weight-quantization policy: float tensors with a real contraction
+    (conv kernels HWIO / dense IO, ndim ≥ 2). Biases and BN
+    scale/bias/mean/var leaves are tiny and precision-critical — f32."""
+    return np.issubdtype(np.asarray(leaf).dtype, np.floating) and np.ndim(leaf) >= 2
+
+
+def _quantize_leaf(leaf: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-output-channel (last axis) symmetric int8 quantization."""
+    a = np.asarray(leaf, np.float32)
+    amax = np.max(np.abs(a), axis=tuple(range(a.ndim - 1)), keepdims=True)
+    scales = (amax / 127.0).astype(np.float32)
+    scales = np.where(scales == 0, 1.0, scales)
+    q = np.clip(np.rint(a / scales), -127, 127).astype(np.int8)
+    return q, scales
+
+
 def export_artifact(
     bundle: str,
     out_path: str,
     platforms: Sequence[str] = _DEFAULT_PLATFORMS,
     patch_size: Optional[int] = None,
+    quantize: Optional[str] = None,
 ) -> Path:
     """Export a trained bundle as a frozen serving artifact.
 
     ``patch_size`` overrides the manifest's tile size (the spatial dims are
     static in the program — one artifact per tile size; the batch dim is
     symbolic).
+
+    ``quantize="int8"``: per-channel symmetric int8 WEIGHT quantization —
+    conv/dense kernels ship as int8 + f32 channel scales and dequantize on
+    device inside the frozen program, so the artifact and the weights' HBM
+    footprint shrink ~4× (compute stays bf16/f32 — activations dominate
+    conv FLOPs, weights dominate artifact size). Measured quality deltas
+    live in PARITY.md §beyond-reference.
     """
     from jax import export as jexport
 
@@ -72,6 +97,8 @@ def export_artifact(
     from ..train.checkpoint import load_bundle
     from .predict import make_probs_fn
 
+    if quantize not in (None, "int8"):
+        raise ValueError(f"quantize must be None or 'int8', got {quantize!r}")
     model, variables, manifest = load_bundle(bundle, best=False)
     regression = bool(manifest.get("enable_regression", False))
     dtype_str = manifest.get("dtype_str", "int8")
@@ -83,12 +110,28 @@ def export_artifact(
 
     probs_fn = make_probs_fn(model, regression)
     leaves, treedef = jax.tree_util.tree_flatten(variables)
+    if quantize == "int8":
+        quant_mask = [_quantizable(l) for l in leaves]
+        packed = []
+        for leaf, q in zip(leaves, quant_mask):
+            packed.append(_quantize_leaf(leaf) if q else
+                          (np.asarray(leaf), None))
+        leaves = [p[0] for p in packed]
+        leaf_scales = [p[1] for p in packed]
 
-    def fwd(leaves, x):
-        return probs_fn(jax.tree_util.tree_unflatten(treedef, leaves), x * scale)
+        def fwd(leaves, x):
+            deq = [l if s is None else l.astype(jnp.float32) * s
+                   for l, s in zip(leaves, leaf_scales)]
+            return probs_fn(jax.tree_util.tree_unflatten(treedef, deq),
+                            x * scale)
+    else:
+        def fwd(leaves, x):
+            return probs_fn(jax.tree_util.tree_unflatten(treedef, leaves),
+                            x * scale)
 
     b = jexport.symbolic_shape("b")[0]
-    leaf_types = [jax.ShapeDtypeStruct(np.shape(l), l.dtype) for l in leaves]
+    leaf_types = [jax.ShapeDtypeStruct(np.shape(l), np.asarray(l).dtype)
+                  for l in leaves]
     x_type = jax.ShapeDtypeStruct((b, patch, patch, bands), jnp.float32)
     exported = jexport.export(jax.jit(fwd), platforms=list(platforms))(
         leaf_types, x_type)
@@ -109,6 +152,7 @@ def export_artifact(
         "platforms": list(platforms),
         "jax_version": jax.__version__,
         "n_leaves": len(leaves),
+        "quantize": quantize,
     }
     members = {
         "__utaot__": np.frombuffer(
