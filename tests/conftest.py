@@ -17,6 +17,12 @@ import jax  # noqa: E402
 
 # The environment profile pins JAX_PLATFORMS=axon (TPU tunnel) and the
 # plugin wins over the env var — force CPU via config for the test suite.
+# Also DROP the axon backend factory: when the tunnel is down its init
+# blocks forever at first device access even on CPU-only runs
+# (BENCH_NOTES round 3), and this suite never touches the TPU.
+from jax._src import xla_bridge as _xb  # noqa: E402
+
+_xb._backend_factories.pop("axon", None)
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

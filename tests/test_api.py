@@ -130,3 +130,11 @@ class TestCompileCache:
         cc = self._reset(monkeypatch)
         monkeypatch.delenv("UNET_TPU_COMPILE_CACHE", raising=False)
         assert cc.enable_compile_cache(str(tmp_path / "d")) == str(tmp_path / "d")
+
+    def test_cpu_default_skips(self, monkeypatch):
+        """Default-on is scoped to accelerator platforms: CPU-only runs
+        (this suite) skip the cache unless a dir is given explicitly —
+        XLA:CPU AOT entries reload with machine-feature mismatch risk."""
+        cc = self._reset(monkeypatch)
+        monkeypatch.delenv("UNET_TPU_COMPILE_CACHE", raising=False)
+        assert cc.enable_compile_cache() is None

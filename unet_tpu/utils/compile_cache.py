@@ -35,6 +35,24 @@ def enable_compile_cache(cache_dir: Optional[str] = None) -> Optional[str]:
     if env.lower() in ("0", "off", "false", "none"):
         _ENABLED = ""
         return None
+    if not (cache_dir or env):
+        # default-on only for accelerator platforms: the win is the
+        # 20-40 s TPU step compile. XLA:CPU AOT entries reload with a
+        # machine-feature mismatch warning (and a documented SIGILL risk
+        # on heterogeneous fleets), and CPU compiles are quick — so
+        # CPU-only runs skip the cache unless a dir is set explicitly.
+        # Read the platform CONFIG, never a backend (init can block when
+        # the TPU transport is down).
+        try:
+            import jax
+
+            plats = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+        except Exception:
+            plats = os.environ.get("JAX_PLATFORMS", "")
+        tokens = [t for t in str(plats).replace(",", " ").split() if t]
+        if tokens and all(t == "cpu" for t in tokens):
+            _ENABLED = ""
+            return None
     target = cache_dir or env or str(Path.home() / ".cache" / "unet_tpu" / "xla")
     try:
         Path(target).mkdir(parents=True, exist_ok=True)
