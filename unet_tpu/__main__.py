@@ -160,6 +160,28 @@ def build_parser() -> argparse.ArgumentParser:
     iw.add_argument("--arch", default="xresnet34")
     iw.add_argument("-o", "--out", default=None,
                     help="output .npz (default: <state_dict>.npz)")
+
+    im = sub.add_parser(
+        "import-model",
+        help="convert a FULL trained fastai DynamicUnet state_dict (.pth) "
+             "into a prediction-ready model bundle — the migration path for "
+             "reference-trained models (save the .pth on any fastai machine "
+             "with torch.save(learn.model.state_dict(), path))",
+    )
+    im.add_argument("state_dict", help="path to the torch .pth file")
+    im.add_argument("bundle", help="output bundle directory "
+                                   "(model_path/description)")
+    im.add_argument("--description", default=None,
+                    help="bundle name (default: bundle dir name)")
+    im.add_argument("--patch-size", type=int, default=400,
+                    help="tile size the model was trained at (reference "
+                         "default 400)")
+    im.add_argument("--regression", action="store_true")
+    im.add_argument("--codes", nargs="*", default=None,
+                    help="class names, for the manifest")
+    im.add_argument("--dtype", default="int8",
+                    help="training-data dtype for predict-time scaling "
+                         "(int8|uint8|int16|float32; reference rule)")
     return ap
 
 
@@ -302,6 +324,15 @@ def cli(argv=None) -> int:
 
         out = args.out or (str(args.state_dict).rsplit(".", 1)[0] + ".npz")
         import_weights_cli(args.state_dict, out, arch=args.arch)
+    elif args.command == "import-model":
+        from .models.torch_import import import_model_cli
+
+        import_model_cli(args.state_dict, args.bundle,
+                         description=args.description,
+                         patch_size=args.patch_size,
+                         regression=args.regression,
+                         codes=args.codes,
+                         dtype_str=args.dtype)
     return 0
 
 

@@ -22,7 +22,7 @@ match.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import numpy as np
 
@@ -216,6 +216,236 @@ def load_encoder_any(variables: Dict[str, Any], path: str,
     sd = torch.load(path, map_location="cpu", weights_only=True)
     sd = {k: v.numpy() for k, v in sd.items()}
     return load_encoder(variables, sd, arch)
+
+
+# --- full-model import (fastai DynamicUnet state_dict) -----------------------
+# The reference exports whole trained Learners (train.py:373 ``learn.export``)
+# and its users hold those .pkl files. Unpickling one requires fastai; the
+# torch-free migration path is one line on any machine that can load it:
+#     learn = load_learner("model.pkl"); import torch
+#     torch.save(learn.model.state_dict(), "model_sd.pth")
+# then ``python -m unet_tpu import-model model_sd.pth <bundle>`` converts the
+# FULL DynamicUnet (encoder + decoder + head) into a prediction-ready bundle.
+# Layer indices below mirror fastai's DynamicUnet ModuleList (SequentialEx):
+#   layers.0 encoder • 1 BatchNorm • 2 ReLU • 3 middle_conv(2x ConvLayer) •
+#   4.. UnetBlocks • [PixelShuffle_ICNR] • ResizeToOrig • MergeLayer •
+#   ResBlock(last_cross) • ConvLayer(head)
+# with the reference's norm_type=NormType *class* quirk (unet_learner_MS,
+# train.py:100/141-144): decoder ConvLayers carry conv BIAS and no norm.
+
+
+def _infer_arch(enc_sd: Dict[str, Any]) -> str:
+    """Recover the xresnet variant from encoder key structure."""
+    stages = []
+    expansion = 1
+    s = 0
+    while f"{4 + s}.0.convpath.0.0.weight" in enc_sd:
+        b = 0
+        while f"{4 + s}.{b}.convpath.0.0.weight" in enc_sd:
+            b += 1
+        if f"{4 + s}.0.convpath.2.0.weight" in enc_sd:
+            expansion = 4
+        stages.append(b)
+        s += 1
+    for name, (exp, layers) in ARCHS.items():
+        if exp == expansion and tuple(layers) == tuple(stages):
+            return name
+    raise ValueError(
+        f"Encoder structure (expansion {expansion}, stages {stages}) matches "
+        f"no known architecture; options: {sorted(ARCHS)}")
+
+
+def _bias_conv(g: Dict[str, Any], prefix: str) -> Dict[str, np.ndarray]:
+    """A norm-broken decoder ConvLayer: conv with bias, keys {prefix}.0.*."""
+    return {"conv": {"kernel": _conv(g[f"{prefix}.0.weight"]),
+                     "bias": np.asarray(g[f"{prefix}.0.bias"])}}
+
+
+def _bn_group(g: Dict[str, Any], prefix: str = "") -> Tuple[Dict, Dict]:
+    p = prefix + "." if prefix else ""
+    return ({"scale": np.asarray(g[f"{p}weight"]),
+             "bias": np.asarray(g[f"{p}bias"])},
+            {"mean": np.asarray(g[f"{p}running_mean"]),
+             "var": np.asarray(g[f"{p}running_var"])})
+
+
+def _sa_group(g: Dict[str, Any], prefix: str) -> Tuple[Dict, Dict]:
+    """fastai SelfAttention under ConvLayer xtra (keys {prefix}.{query,...}.0):
+    spectral-normed 1-d convs store weight_orig (out,in,1) + power-iteration
+    buffers; our SelfAttention keeps the transposed kernel (in,out) and the
+    ``u`` vector in batch_stats (layers.py:422-489)."""
+    params: Dict[str, Any] = {
+        "gamma": np.asarray(g[f"{prefix}.gamma"]).reshape(1)}
+    stats: Dict[str, Any] = {}
+    for name in ("query", "key", "value"):
+        w = np.asarray(g[f"{prefix}.{name}.0.weight_orig"])  # (out, in, 1)
+        params[f"{name}_kernel"] = w[:, :, 0].T
+        stats[f"{name}_u"] = np.asarray(g[f"{prefix}.{name}.0.weight_u"])
+    return params, stats
+
+
+def convert_unet_state_dict(
+    sd: Dict[str, Any], arch: Optional[str] = None
+) -> Tuple[Dict[str, Any], Dict[str, Any], Dict[str, Any]]:
+    """fastai DynamicUnet ``state_dict`` → (params, batch_stats, meta) for
+    models.DynamicUnet (parity topology; tpu_opt reshapes parameters and is
+    train-only). ``meta`` reports the inferred arch/c_in/n_out/self_attention.
+
+    Accepts numpy-viewable values (for torch tensors, convert with
+    ``{k: v.numpy() for k, v in sd.items()}`` first).
+    """
+    groups: Dict[int, Dict[str, Any]] = {}
+    for k, v in sd.items():
+        if not k.startswith("layers."):
+            raise ValueError(
+                "Not a DynamicUnet state_dict (expected 'layers.N...' keys; "
+                "save it with torch.save(learn.model.state_dict(), path)). "
+                f"First key: {next(iter(sd))!r}")
+        _, idx, rest = k.split(".", 2)
+        groups.setdefault(int(idx), {})[rest] = v
+
+    enc_sd = groups.pop(0)
+    if arch is None:
+        arch = _infer_arch(enc_sd)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    params["encoder"], stats["encoder"] = convert_xresnet_state_dict(enc_sd, arch)
+
+    blocks = 0
+    self_attention = False
+    for idx in sorted(groups):
+        g = groups[idx]
+        if "running_mean" in g:  # layers.1 — the middle BatchNorm
+            params["mid_bn"], stats["mid_bn"] = _bn_group(g)
+        elif "0.0.weight" in g and "1.0.weight" in g:  # middle_conv pair
+            params["mid_conv1"] = _bias_conv(g, "0")
+            params["mid_conv2"] = _bias_conv(g, "1")
+        elif "shuf.0.0.weight" in g:  # a UnetBlock
+            name = f"up_{blocks}"
+            blocks += 1
+            bn_p, bn_s = _bn_group(g, "bn")
+            params[name] = {
+                "shuf": {"conv": {"kernel": _conv(g["shuf.0.0.weight"]),
+                                  "bias": np.asarray(g["shuf.0.0.bias"])}},
+                "bn": bn_p,
+                "conv1": _bias_conv(g, "conv1"),
+                "conv2": _bias_conv(g, "conv2"),
+            }
+            stats[name] = {"bn": bn_s}
+            if "conv2.2.gamma" in g:  # ConvLayer xtra = SelfAttention
+                self_attention = True
+                params[name]["sa"], stats[name]["sa"] = _sa_group(g, "conv2.2")
+        elif "0.0.weight" in g:  # trailing PixelShuffle_ICNR
+            params["final_shuf"] = {
+                "conv": {"kernel": _conv(g["0.0.weight"]),
+                         "bias": np.asarray(g["0.0.bias"])}}
+        elif "convpath.0.0.weight" in g:  # last_cross ResBlock
+            rb = {"conv1": _bias_conv(g, "convpath.0"),
+                  "conv2": _bias_conv(g, "convpath.1")}
+            for id_idx in (0, 1):
+                if f"idpath.{id_idx}.0.weight" in g:
+                    rb["idconv"] = _bias_conv(g, f"idpath.{id_idx}")
+            params["last_cross"] = rb
+        elif "0.weight" in g:  # head ConvLayer(ks=1, no act)
+            params["head"] = {"kernel": _conv(g["0.weight"]),
+                              "bias": np.asarray(g["0.bias"])}
+        else:
+            raise ValueError(f"Unrecognized DynamicUnet layer {idx}: "
+                             f"{sorted(g)[:4]}")
+
+    meta = {
+        "arch": arch,
+        "c_in": int(np.shape(enc_sd["0.0.weight"])[1]),
+        "n_out": int(np.shape(params["head"]["kernel"])[-1]),
+        "self_attention": self_attention,
+        "n_blocks": blocks,
+    }
+    return params, stats, meta
+
+
+def load_unet_state_dict(
+    variables: Dict[str, Any], sd: Dict[str, Any], arch: Optional[str] = None
+) -> Dict[str, Any]:
+    """Graft a full fastai DynamicUnet state_dict into a DynamicUnet
+    variables tree (strict: every shape must match — full-model import
+    implies identical topology, so there is no multispectral leniency)."""
+    import jax
+
+    params, stats, _ = convert_unet_state_dict(sd, arch)
+    new_vars = jax.tree_util.tree_map(lambda x: x, variables)
+    src_flat = _flatten_tree(params)
+    tgt_flat = _flatten_tree(new_vars["params"])
+    missing = sorted(set(tgt_flat) - set(src_flat))
+    extra = sorted(set(src_flat) - set(tgt_flat))
+    if missing or extra:
+        raise ValueError(
+            "DynamicUnet parameter trees do not line up (is the target model "
+            "built with tpu_opt or a different arch/self_attention?): "
+            f"missing from state_dict: {missing[:6]}; "
+            f"unexpected in state_dict: {extra[:6]}")
+    _graft(new_vars["params"], params, allow_mismatch=False)
+    _graft(new_vars["batch_stats"], stats, allow_mismatch=False)
+    return new_vars
+
+
+def import_model_cli(
+    src: str,
+    bundle_dir: str,
+    description: Optional[str] = None,
+    patch_size: int = 400,
+    regression: bool = False,
+    codes: Optional[list] = None,
+    dtype_str: str = "int8",
+) -> str:
+    """``python -m unet_tpu import-model``: full fastai DynamicUnet
+    state_dict (.pth) → prediction-ready model bundle.
+
+    The bundle is the load_learner equivalent (train/checkpoint.py), so the
+    imported model drives predict/serve/export exactly like one trained here.
+    """
+    import jax
+    import torch
+
+    from ..train.checkpoint import export_bundle
+    from .unet import build_unet
+
+    sd = torch.load(src, map_location="cpu", weights_only=True)
+    sd = {k: v.numpy() for k, v in sd.items()}
+    params, stats, meta = convert_unet_state_dict(sd)
+    model = build_unet(arch=meta["arch"], n_out=meta["n_out"],
+                       c_in=meta["c_in"],
+                       self_attention=meta["self_attention"])
+    # param/stat SHAPES don't depend on the input grid, so a tiny 64² init
+    # is enough to build the graft template
+    x = np.zeros((1, 64, 64, meta["c_in"]), np.float32)
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+    variables = load_unet_state_dict(variables, sd, meta["arch"])
+
+    from pathlib import Path
+
+    d = Path(bundle_dir)
+    desc = description or d.name
+    manifest = {
+        "ARCHITECTURE": meta["arch"],
+        "n_out": meta["n_out"],
+        "c_in": meta["c_in"],
+        "number_of_bands": meta["c_in"],
+        "patch_size": patch_size,
+        "self_attention": meta["self_attention"],
+        "enable_regression": regression,
+        "CODES": list(codes) if codes else None,
+        "dtype_str": dtype_str,
+        "normalize": "reference",
+        "tpu_opt": False,
+        "imported_from": str(src),
+    }
+    export_bundle(d, desc, variables, manifest)
+    n = sum(v.size for v in _flatten_tree(variables["params"]).values())
+    print(f"Imported {meta['arch']} DynamicUnet ({n/1e6:.1f}M params, "
+          f"c_in={meta['c_in']}, n_out={meta['n_out']}, "
+          f"self_attention={meta['self_attention']}) -> {d}")
+    return str(d)
 
 
 def import_weights_cli(src: str, out: str, arch: str = "xresnet34") -> str:
