@@ -245,6 +245,30 @@ class TestFullModelParity:
             convert_unet_state_dict(sd)
 
 
+class TestInferArch:
+    def test_all_variants(self):
+        """Arch inference must distinguish every supported xresnet from its
+        encoder key structure alone (expansion via the third convpath conv,
+        depth via stage/block key presence)."""
+        from unet_tpu.models.torch_import import _infer_arch
+        from unet_tpu.models.xresnet import ARCHS
+
+        for name, (expansion, layers) in ARCHS.items():
+            sd = {}
+            for s, n_blocks in enumerate(layers):
+                for b in range(n_blocks):
+                    sd[f"{4 + s}.{b}.convpath.0.0.weight"] = None
+                    if expansion == 4:
+                        sd[f"{4 + s}.{b}.convpath.2.0.weight"] = None
+            assert _infer_arch(sd) == name, name
+
+    def test_unknown_structure_rejected(self):
+        from unet_tpu.models.torch_import import _infer_arch
+
+        with pytest.raises(ValueError, match="no known architecture"):
+            _infer_arch({"4.0.convpath.0.0.weight": None})
+
+
 class TestImportModelCLI:
     def test_pth_to_bundle_to_prediction(self, tmp_path):
         from unet_tpu.models.torch_import import import_model_cli
@@ -270,3 +294,48 @@ class TestImportModelCLI:
                           train=False)
         got = np.asarray(got).argmax(-1)
         assert (got == want).mean() > 0.99
+
+    def test_continue_training_from_imported_bundle(self, tmp_path, capsys):
+        """The reference's existing_model workflow (train.py:225 load_learner
+        then keep training) applied to a MIGRATED model: import-model bundle
+        → Trainer(existing_model=...) adopts the bundle topology and starts
+        from the imported weights."""
+        from unet_tpu.geo import write_raster
+        from unet_tpu.models.torch_import import import_model_cli
+        from unet_tpu.tiling import split_raster
+        from unet_tpu.train import TrainerConfig, train_model
+        from unet_tpu.train.checkpoint import load_bundle
+
+        m = make_torch_unet(c_in=3, n_out=2, seed=4)
+        pth = tmp_path / "sd.pth"
+        torch.save(m.state_dict(), pth)
+        imported = import_model_cli(str(pth), str(tmp_path / "imported"),
+                                    patch_size=32, dtype_str="uint8",
+                                    codes=["bg", "target"])
+
+        rng = np.random.default_rng(12)
+        img = rng.integers(1, 100, size=(3, 64, 64)).astype(np.uint8)
+        bright = rng.random(size=(64, 64)) < 0.5
+        img[0][bright] = 200
+        T = (500000.0, 0.5, 0.0, 5400000.0, 0.0, -0.5)
+        write_raster(tmp_path / "s.tif", img, transform=T, crs="EPSG:25832")
+        write_raster(tmp_path / "m.tif", bright.astype(np.uint8)[None],
+                     transform=T, crs="EPSG:25832")
+        base = tmp_path / "tiles"
+        split_raster(str(tmp_path / "s.tif"), str(tmp_path / "m.tif"),
+                     str(base), patch_size=32, patch_overlap=0,
+                     split=[0.75, 0.25], max_empty=1.0, seed=3)
+
+        cfg = TrainerConfig(
+            data_path=base, model_path=tmp_path / "models",
+            description="continued", batch_size=2, epochs=1, lr=1e-3,
+            arch="xresnet34",  # wrong on purpose: bundle topology must win
+            codes=["bg", "target"], bf16=False, seed=0,
+            visualize_data_example=False, existing_model=imported)
+        bundle = train_model(cfg)
+        out = capsys.readouterr().out
+        assert "adopting bundle topology" in out
+
+        _, _, manifest = load_bundle(bundle)
+        assert manifest["ARCHITECTURE"] == "xresnet18"
+        assert manifest["tpu_opt"] is False
