@@ -24,6 +24,7 @@ import jax.numpy as jnp
 from unet_tpu.models import build_unet
 from unet_tpu.models.torch_import import (convert_unet_state_dict,
                                           load_unet_state_dict)
+from golden_weights import torch_xresnet_body
 from test_torch_import import torch_xresnet18_body
 
 
@@ -119,9 +120,12 @@ class TorchDynamicUnet(tnn.Module):
 
     SKIP_IDXS = (6, 5, 4, 2)  # encoder children hooked, deepest first
 
-    def __init__(self, c_in=3, n_out=3, self_attention=False):
+    def __init__(self, c_in=3, n_out=3, self_attention=False,
+                 arch="xresnet18"):
         super().__init__()
-        encoder = torch_xresnet18_body(c_in)
+        # both expansion-1 bodies share widths/skip channels; layout is
+        # identical to test_torch_import.torch_xresnet18_body for depth 18
+        encoder = torch_xresnet_body(arch, c_in)
         ni = 512
         middle = tnn.Sequential(dec_conv(ni, ni * 2), dec_conv(ni * 2, ni))
         skip_cs = [256, 128, 64, 64]
@@ -160,9 +164,10 @@ class TorchDynamicUnet(tnn.Module):
         return self.layers[12](self.layers[11](y))
 
 
-def make_torch_unet(c_in=3, n_out=3, self_attention=False, seed=0):
+def make_torch_unet(c_in=3, n_out=3, self_attention=False, seed=0,
+                    arch="xresnet18"):
     torch.manual_seed(seed)
-    m = TorchDynamicUnet(c_in, n_out, self_attention)
+    m = TorchDynamicUnet(c_in, n_out, self_attention, arch)
     with torch.no_grad():
         for mod in m.modules():
             if isinstance(mod, tnn.BatchNorm2d):
@@ -185,9 +190,9 @@ def make_torch_unet(c_in=3, n_out=3, self_attention=False, seed=0):
     return m
 
 
-def flax_from_torch(m, c_in, n_out, self_attention):
+def flax_from_torch(m, c_in, n_out, self_attention, arch="xresnet18"):
     sd = {k: v.numpy() for k, v in m.state_dict().items()}
-    model = build_unet("xresnet18", n_out=n_out, c_in=c_in,
+    model = build_unet(arch, n_out=n_out, c_in=c_in,
                        self_attention=self_attention, dtype=jnp.float32)
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, 64, 64, c_in)), train=False)
@@ -215,6 +220,23 @@ class TestFullModelParity:
         with torch.no_grad():
             want = m(torch.from_numpy(x)).numpy()
         model, variables = flax_from_torch(m, 5, 4, True)
+        got = model.apply(variables, jnp.asarray(np.moveaxis(x, 1, 3)),
+                          train=False)
+        got = np.moveaxis(np.asarray(got), 3, 1)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
+
+    def test_forward_parity_xresnet34(self):
+        """The reference's DEFAULT arch (params_and_main.py:99): full
+        DynamicUnet over an xresnet34 body, inferred from the weights."""
+        m = make_torch_unet(c_in=3, n_out=3, seed=6, arch="xresnet34")
+        sd = {k: v.numpy() for k, v in m.state_dict().items()}
+        _, _, meta = convert_unet_state_dict(sd)
+        assert meta["arch"] == "xresnet34"
+        x = np.random.default_rng(10).normal(
+            size=(1, 3, 64, 64)).astype(np.float32)
+        with torch.no_grad():
+            want = m(torch.from_numpy(x)).numpy()
+        model, variables = flax_from_torch(m, 3, 3, False, arch="xresnet34")
         got = model.apply(variables, jnp.asarray(np.moveaxis(x, 1, 3)),
                           train=False)
         got = np.moveaxis(np.asarray(got), 3, 1)
