@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from unet_tpu.models import build_unet
 from unet_tpu.models.torch_import import (convert_unet_state_dict,
                                           load_unet_state_dict)
-from golden_weights import torch_xresnet_body
+from golden_weights import conv_layer, torch_xresnet_body
 from test_torch_import import torch_xresnet18_body
 
 
@@ -110,6 +110,54 @@ class TorchResBlockNC(tnn.Module):
         return self.act(self.convpath(x) + self.idpath(x))
 
 
+class TorchBottleneckBlock(tnn.Module):
+    """fastai ResBlock (expansion 4): 1x1 → 3x3(stride) → 1x1 zero-BN."""
+
+    def __init__(self, ni, nf, stride=1):
+        super().__init__()
+        self.convpath = tnn.Sequential(
+            conv_layer(ni, nf, 1),
+            conv_layer(nf, nf, 3, stride),
+            conv_layer(nf, nf * 4, 1, act=False, zero_bn=True),
+        )
+        idlayers = []
+        if stride != 1:
+            idlayers.append(tnn.AvgPool2d(2, ceil_mode=True))
+        if ni != nf * 4:
+            idlayers.append(conv_layer(ni, nf * 4, 1, act=False))
+        self.idpath = tnn.Sequential(*idlayers)
+        self.act = tnn.ReLU()
+
+    def forward(self, x):
+        return self.act(self.convpath(x) + self.idpath(x))
+
+
+def torch_xresnet50_body(c_in=3):
+    """fastai create_body(xresnet50): same stem/stage layout as expansion-1,
+    bottleneck blocks with 4x output channels."""
+    stem = [conv_layer(c_in, 32, stride=2), conv_layer(32, 32),
+            conv_layer(32, 64)]
+    widths = [64, 128, 256, 512]
+    stages = []
+    ni = 64
+    for s, n in enumerate((3, 4, 6, 3)):
+        nf = widths[s]
+        blocks = [TorchBottleneckBlock(ni if b == 0 else nf * 4, nf,
+                                       stride=1 if (s == 0 or b > 0) else 2)
+                  for b in range(n)]
+        stages.append(tnn.Sequential(*blocks))
+        ni = nf * 4
+    return tnn.Sequential(*stem, tnn.MaxPool2d(3, 2, 1), *stages)
+
+
+# final encoder channels + skip channels (deepest hook first) per arch
+ARCH_DECODER = {
+    "xresnet18": (512, [256, 128, 64, 64]),
+    "xresnet34": (512, [256, 128, 64, 64]),
+    "xresnet50": (2048, [1024, 512, 256, 64]),
+}
+
+
 class TorchDynamicUnet(tnn.Module):
     """fastai DynamicUnet over an xresnet18 body, reference-effective config.
 
@@ -123,12 +171,14 @@ class TorchDynamicUnet(tnn.Module):
     def __init__(self, c_in=3, n_out=3, self_attention=False,
                  arch="xresnet18"):
         super().__init__()
-        # both expansion-1 bodies share widths/skip channels; layout is
-        # identical to test_torch_import.torch_xresnet18_body for depth 18
-        encoder = torch_xresnet_body(arch, c_in)
-        ni = 512
+        if arch == "xresnet50":
+            encoder = torch_xresnet50_body(c_in)
+        else:
+            # both expansion-1 bodies share widths/skip channels; layout is
+            # identical to test_torch_import.torch_xresnet18_body
+            encoder = torch_xresnet_body(arch, c_in)
+        ni, skip_cs = ARCH_DECODER[arch]
         middle = tnn.Sequential(dec_conv(ni, ni * 2), dec_conv(ni * 2, ni))
-        skip_cs = [256, 128, 64, 64]
         blocks, x_c = [], ni
         n = len(skip_cs)
         for i, sc in enumerate(skip_cs):
@@ -237,6 +287,23 @@ class TestFullModelParity:
         with torch.no_grad():
             want = m(torch.from_numpy(x)).numpy()
         model, variables = flax_from_torch(m, 3, 3, False, arch="xresnet34")
+        got = model.apply(variables, jnp.asarray(np.moveaxis(x, 1, 3)),
+                          train=False)
+        got = np.moveaxis(np.asarray(got), 3, 1)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
+
+    def test_forward_parity_xresnet50(self):
+        """Expansion-4 migration: bottleneck encoder (convpath.2 conv3),
+        2048-channel decoder walk."""
+        m = make_torch_unet(c_in=3, n_out=2, seed=7, arch="xresnet50")
+        sd = {k: v.numpy() for k, v in m.state_dict().items()}
+        _, _, meta = convert_unet_state_dict(sd)
+        assert meta["arch"] == "xresnet50"
+        x = np.random.default_rng(11).normal(
+            size=(1, 3, 64, 64)).astype(np.float32)
+        with torch.no_grad():
+            want = m(torch.from_numpy(x)).numpy()
+        model, variables = flax_from_torch(m, 3, 2, False, arch="xresnet50")
         got = model.apply(variables, jnp.asarray(np.moveaxis(x, 1, 3)),
                           train=False)
         got = np.moveaxis(np.asarray(got), 3, 1)
