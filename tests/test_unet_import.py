@@ -132,15 +132,15 @@ class TorchBottleneckBlock(tnn.Module):
         return self.act(self.convpath(x) + self.idpath(x))
 
 
-def torch_xresnet50_body(c_in=3):
-    """fastai create_body(xresnet50): same stem/stage layout as expansion-1,
-    bottleneck blocks with 4x output channels."""
+def torch_xresnet50_body(c_in=3, layers=(3, 4, 6, 3)):
+    """fastai create_body(xresnet50/101): same stem/stage layout as
+    expansion-1, bottleneck blocks with 4x output channels."""
     stem = [conv_layer(c_in, 32, stride=2), conv_layer(32, 32),
             conv_layer(32, 64)]
     widths = [64, 128, 256, 512]
     stages = []
     ni = 64
-    for s, n in enumerate((3, 4, 6, 3)):
+    for s, n in enumerate(layers):
         nf = widths[s]
         blocks = [TorchBottleneckBlock(ni if b == 0 else nf * 4, nf,
                                        stride=1 if (s == 0 or b > 0) else 2)
@@ -155,6 +155,7 @@ ARCH_DECODER = {
     "xresnet18": (512, [256, 128, 64, 64]),
     "xresnet34": (512, [256, 128, 64, 64]),
     "xresnet50": (2048, [1024, 512, 256, 64]),
+    "xresnet101": (2048, [1024, 512, 256, 64]),
 }
 
 
@@ -173,6 +174,8 @@ class TorchDynamicUnet(tnn.Module):
         super().__init__()
         if arch == "xresnet50":
             encoder = torch_xresnet50_body(c_in)
+        elif arch == "xresnet101":
+            encoder = torch_xresnet50_body(c_in, layers=(3, 4, 23, 3))
         else:
             # both expansion-1 bodies share widths/skip channels; layout is
             # identical to test_torch_import.torch_xresnet18_body
@@ -304,6 +307,23 @@ class TestFullModelParity:
         with torch.no_grad():
             want = m(torch.from_numpy(x)).numpy()
         model, variables = flax_from_torch(m, 3, 2, False, arch="xresnet50")
+        got = model.apply(variables, jnp.asarray(np.moveaxis(x, 1, 3)),
+                          train=False)
+        got = np.moveaxis(np.asarray(got), 3, 1)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=2e-3)
+
+    def test_forward_parity_xresnet101(self):
+        """Deepest supported encoder: 23-block stage-3, same expansion-4
+        conversion path as 50 — meta inference must separate them by depth."""
+        m = make_torch_unet(c_in=3, n_out=2, seed=8, arch="xresnet101")
+        sd = {k: v.numpy() for k, v in m.state_dict().items()}
+        _, _, meta = convert_unet_state_dict(sd)
+        assert meta["arch"] == "xresnet101"
+        x = np.random.default_rng(13).normal(
+            size=(1, 3, 64, 64)).astype(np.float32)
+        with torch.no_grad():
+            want = m(torch.from_numpy(x)).numpy()
+        model, variables = flax_from_torch(m, 3, 2, False, arch="xresnet101")
         got = model.apply(variables, jnp.asarray(np.moveaxis(x, 1, 3)),
                           train=False)
         got = np.moveaxis(np.asarray(got), 3, 1)
