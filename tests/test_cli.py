@@ -156,3 +156,35 @@ class TestDoctor:
         out = capsys.readouterr().out
         assert "FAIL" in out and "decoder exploded" in out
         assert "all checks passed" not in out
+
+
+class TestCLIErrorUX:
+    """User-input mistakes get one clean `error:` line and exit code 2,
+    not a traceback (UNET_TPU_TRACEBACK=1 restores the raw traceback)."""
+
+    def test_missing_bundle_clean_error(self, capsys, monkeypatch):
+        from unet_tpu import __main__ as m
+
+        monkeypatch.delenv("UNET_TPU_TRACEBACK", raising=False)
+        rc = m.cli(["predict", "models/NOPE", "tiles"])
+        err = capsys.readouterr().err
+        assert rc == 2
+        assert err.startswith("error: ")
+        assert "UNET_TPU_TRACEBACK" in err
+
+    def test_missing_tiles_clean_error(self, capsys, monkeypatch):
+        from unet_tpu import __main__ as m
+
+        monkeypatch.delenv("UNET_TPU_TRACEBACK", raising=False)
+        rc = m.cli(["tile", "/no/such/scene.tif", "--base-dir", "x"])
+        assert rc == 2
+        assert capsys.readouterr().err.startswith("error: ")
+
+    def test_traceback_escape_hatch(self, monkeypatch):
+        import pytest as _pytest
+
+        from unet_tpu import __main__ as m
+
+        monkeypatch.setenv("UNET_TPU_TRACEBACK", "1")
+        with _pytest.raises(FileNotFoundError):
+            m.cli(["tile", "/no/such/scene.tif", "--base-dir", "x"])

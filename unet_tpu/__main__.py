@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 from .api import Params, main, main_multi, params_from_json
@@ -204,6 +205,20 @@ def _artifact_predictor(args):
 
 def cli(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if os.environ.get("UNET_TPU_TRACEBACK"):
+        return _dispatch(args)
+    try:
+        return _dispatch(args)
+    except (OSError, ValueError) as e:
+        # user-input errors (missing paths, bad bundles/params) get one
+        # clean line; crashes in library code still raise normally
+        print(f"error: {e}", file=sys.stderr)
+        print("(set UNET_TPU_TRACEBACK=1 for the full traceback)",
+              file=sys.stderr)
+        return 2
+
+
+def _dispatch(args) -> int:
     if args.command == "run":
         p = params_from_json(args.config)
         (main_multi if args.multi else main)(p)
