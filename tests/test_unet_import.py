@@ -404,6 +404,35 @@ class TestImportModelCLI:
         got = np.asarray(got).argmax(-1)
         assert (got == want).mean() > 0.99
 
+    def test_regression_import_predicts_values(self, tmp_path):
+        """A migrated regression model (n_out=1, --regression) drives the
+        value-map prediction path: Predictor picks enable_regression up
+        from the manifest and returns continuous values, not argmax."""
+        from unet_tpu.models.torch_import import import_model_cli
+        from unet_tpu.predict.predict import Predictor
+
+        m = make_torch_unet(c_in=3, n_out=1, seed=9)
+        pth = tmp_path / "sd.pth"
+        torch.save(m.state_dict(), pth)
+        out = import_model_cli(str(pth), str(tmp_path / "reg"),
+                               patch_size=64, regression=True,
+                               dtype_str="float32")
+        p = Predictor(out, batch_size=2)
+        assert p.regression and p.scale == 1.0
+
+        x = np.random.default_rng(14).normal(
+            size=(2, 3, 64, 64)).astype(np.float32)
+        with torch.no_grad():
+            want = m(torch.from_numpy(x)).numpy()  # (2, 1, 64, 64)
+        got = p.predict_batch(np.moveaxis(x, 1, 3))  # (2, 64, 64, 1)
+        assert got.shape == (2, 64, 64, 1)
+        got = np.moveaxis(got, 3, 1)
+        # the rebuilt bundle runs bf16 — compare values loosely but assert
+        # they are the torch model's values, not class indices
+        rel = np.abs(got - want).mean() / (np.abs(want).mean() + 1e-9)
+        assert rel < 0.05, rel
+        assert np.unique(got).size > 100  # continuous, not argmax
+
     def test_continue_training_from_imported_bundle(self, tmp_path, capsys):
         """The reference's existing_model workflow (train.py:225 load_learner
         then keep training) applied to a MIGRATED model: import-model bundle
