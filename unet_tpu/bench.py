@@ -308,27 +308,35 @@ def bench_e2e_train(tile: int = 512, batch_size: int = 8, n_tiles: int = 80,
                 images, masks = shard_batch(trainer.mesh, images, masks)
                 state, loss = train_step(state, images, masks, sub)
             _sync(loss)
-            # synchronous epoch: each device_put serializes in front of its
+            # Each mode runs two epochs, best-of taken: through the axon
+            # tunnel a single h2d hiccup dominates a 5-step epoch (observed
+            # run-to-run swings 9-24 tiles/s on identical code, BENCH_NOTES),
+            # so one-epoch samples routinely invert the sync/overlap ranking.
+            # synchronous epochs: each device_put serializes in front of its
             # step (the reference's num_workers=0 shape, train.py:345)
-            t0 = time.perf_counter()
-            n_steps = 0
-            for images, masks, _ in trainer.train_loader:
-                key, sub = jax.random.split(key)
-                images, masks = shard_batch(trainer.mesh, images, masks)
-                state, loss = train_step(state, images, masks, sub)
-                n_steps += 1
-            _sync(loss)
-            dt_sync = time.perf_counter() - t0
-            # overlapped epoch — the production Trainer.fit path: batch N+1
+            dt_sync = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                n_steps = 0
+                for images, masks, _ in trainer.train_loader:
+                    key, sub = jax.random.split(key)
+                    images, masks = shard_batch(trainer.mesh, images, masks)
+                    state, loss = train_step(state, images, masks, sub)
+                    n_steps += 1
+                _sync(loss)
+                dt_sync = min(dt_sync, time.perf_counter() - t0)
+            # overlapped epochs — the production Trainer.fit path: batch N+1
             # transfers while step N computes (prefetch_to_mesh), so the
             # epoch costs ~max(step, transfer) per batch, not step+transfer
-            t0 = time.perf_counter()
-            for images, masks, _ in prefetch_to_mesh(
-                    trainer.train_loader, trainer.mesh):
-                key, sub = jax.random.split(key)
-                state, loss = train_step(state, images, masks, sub)
-            _sync(loss)
-            dt_overlap = time.perf_counter() - t0
+            dt_overlap = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                for images, masks, _ in prefetch_to_mesh(
+                        trainer.train_loader, trainer.mesh):
+                    key, sub = jax.random.split(key)
+                    state, loss = train_step(state, images, masks, sub)
+                _sync(loss)
+                dt_overlap = min(dt_overlap, time.perf_counter() - t0)
         finally:
             trainer.close()
     return {
@@ -401,8 +409,12 @@ def bench_pallas_probe(tile: int = 512) -> dict:
     return probe.describe()
 
 
-def run_benchmark(tile: int = 512, batch_size: int = 16, steps: int = 24,
-                  predict_batch: Optional[int] = None) -> dict:
+def run_benchmark(tile: int = 512, batch_size: int = 24, steps: int = 24,
+                  predict_batch: int = 64, parity_batch: int = 16) -> dict:
+    """Batch sizes are each config's measured sweet spot on one v5e chip
+    (round-3 sweep, BENCH_NOTES): tpu_opt peaks at bs24 (252.0 vs 236.5 at
+    bs16, 242.9 at bs32), the parity topology at bs16 (104.0 vs 100.3 at
+    bs24), prediction at bs64."""
     import sys
 
     train_res = None
@@ -415,12 +427,12 @@ def run_benchmark(tile: int = 512, batch_size: int = 16, steps: int = 24,
     if train_res is None:
         raise RuntimeError("training benchmark failed at all batch sizes")
     try:
-        parity_res = bench_train(tile=tile, batch_size=train_res["batch_size"],
+        parity_res = bench_train(tile=tile,
+                                 batch_size=min(parity_batch, train_res["batch_size"]),
                                  steps=steps, tpu_opt=False)
     except Exception as e:
         parity_res = {"error": str(e)[:120]}
-    pred_res = bench_predict(tile=tile, batch_size=predict_batch or train_res["batch_size"] * 4,
-                             steps=steps)
+    pred_res = bench_predict(tile=tile, batch_size=predict_batch, steps=steps)
     value = train_res["tiles_per_sec_per_chip"]
     try:
         loader_res = {k: (round(v, 1) if v else v) for k, v in bench_loader().items()}
@@ -428,7 +440,9 @@ def run_benchmark(tile: int = 512, batch_size: int = 16, steps: int = 24,
         loader_res = {"error": str(e)[:100]}
     try:
         e2e_res = {k: (round(v, 2) if isinstance(v, float) else v)
-                   for k, v in bench_e2e_train(tile=tile, batch_size=train_res["batch_size"]).items()}
+                   for k, v in bench_e2e_train(
+                       tile=tile,
+                       batch_size=min(16, train_res["batch_size"])).items()}
     except Exception as e:
         e2e_res = {"error": str(e)[:120]}
     try:
