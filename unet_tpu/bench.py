@@ -364,17 +364,32 @@ def bench_pallas_probe(tile: int = 512) -> dict:
         msks = jnp.asarray(rng.integers(0, 3, (16, tile, tile)).astype(np.int32))
         key = jax.random.PRNGKey(0)
 
-        def _ab(use_fused):
-            fn = jax.jit(partial(augment_batch, cfg=AugmentConfig(),
-                                 use_fused=use_fused))
-            out = fn(key, imgs, msks)  # compile
-            _sync(out[0].ravel()[0])
-            lat = _fetch_latency(out[0].ravel()[0])
-            t0 = time.perf_counter()
-            for _ in range(5):
-                out = fn(key, out[0], msks)  # chained: defeats caching
-            _sync(out[0].ravel()[0])
-            return max((time.perf_counter() - t0 - lat) / 5 * 1e3, 1e-6)
+        def _ab(use_fused, K=200):
+            # scan-of-K inside ONE jit with the scalar-fetch latency
+            # subtracted: through the axon tunnel a result fetch costs
+            # ~28 ms (±3), so at small K the latency noise alone exceeds
+            # the ~0.3 ms/iter signal between these kernels
+            def body(carry, _):
+                im, k = carry
+                k, sub = jax.random.split(k)
+                oi, _om = augment_batch(sub, im, msks, cfg=AugmentConfig(),
+                                        use_fused=use_fused)
+                return (oi, k), None
+
+            @jax.jit
+            def run(im, k):
+                (oi, _), _ = jax.lax.scan(body, (im, k), None, length=K)
+                return oi.ravel()[0]
+
+            r = run(imgs, key)  # compile
+            _sync(r)
+            lat = _fetch_latency(r)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _sync(run(imgs, key))
+                best = min(best, (time.perf_counter() - t0 - lat) / K * 1e3)
+            return max(best, 1e-6)
 
         try:
             probe.record_kernel_ab("fused_aug", _ab(True), _ab(False))

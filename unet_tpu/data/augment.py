@@ -102,7 +102,8 @@ def n_augmented(batch_size: int, n_transform_imgs: float, reference_quirks: bool
     return min(n, batch_size)
 
 
-def _flip_images(images: Array, flags: Array, axis: int) -> Array:
+def _flip_images(images: Array, flags: Array, axis: int,
+                 precision=jax.lax.Precision.HIGHEST) -> Array:
     """Conditionally reverse one spatial axis of a float image batch.
 
     On TPU the (B,H,W,3) layout is lane-starved, so ``lax.rev`` + ``select``
@@ -131,12 +132,14 @@ def _flip_images(images: Array, flags: Array, axis: int) -> Array:
         sub = "bhwc,bwv->bhvc" if axis == 2 else "bhwc,bhu->buwc"
     # HIGHEST: default matmul precision on TPU rounds f32 operands to bf16,
     # which would perturb pixel values; full-precision passes keep the
-    # permutation bit-exact and this op is tiny next to the model's convs
-    return jnp.einsum(sub, images, perm, precision=jax.lax.Precision.HIGHEST,
+    # permutation bit-exact and this op is tiny next to the model's convs.
+    # Callers that KNOW their values are bf16-exact (raw int8 tiles at
+    # scale 1.0) pass DEFAULT — same bits, one MXU pass instead of six
+    return jnp.einsum(sub, images, perm, precision=precision,
                       preferred_element_type=jnp.float32).astype(images.dtype)
 
 
-@partial(jax.jit, static_argnames=("cfg", "n_aug", "max_val"))
+@partial(jax.jit, static_argnames=("cfg", "n_aug", "max_val", "img_precision"))
 def _augment(
     key: Array,
     images: Array,
@@ -144,6 +147,7 @@ def _augment(
     cfg: AugmentConfig,
     n_aug: int,
     max_val: float,
+    img_precision=jax.lax.Precision.HIGHEST,
 ) -> Tuple[Array, Optional[Array]]:
     b, h, w, _c = images.shape
     in_range = (jnp.arange(b) < n_aug)
@@ -170,12 +174,12 @@ def _augment(
 
     if cfg.hflip_p > 0:
         f = gate(keys[0], cfg.hflip_p)
-        images = _flip_images(images, f, axis=2)
+        images = _flip_images(images, f, axis=2, precision=img_precision)
         if masks is not None:
             masks = _flip_images(masks, f, axis=2)
     if cfg.vflip_p > 0:
         f = gate(keys[1], cfg.vflip_p)
-        images = _flip_images(images, f, axis=1)
+        images = _flip_images(images, f, axis=1, precision=img_precision)
         if masks is not None:
             masks = _flip_images(masks, f, axis=1)
 
@@ -277,15 +281,26 @@ def augment_batch(
 
             use_fused = fused_aug_enabled()
         if use_fused:
-            from ..ops.pallas_aug import fused_flip_scale
+            from ..ops.pallas_aug import (fused_flip_scale,
+                                          hardware_shapes_ok, splits_for)
 
-            in_range = jnp.arange(b) < n_aug
-            keys = jax.random.split(key, 6)  # same structure as _augment
-            hf = in_range & (jax.random.uniform(keys[0], (b,)) < cfg.hflip_p)
-            vf = in_range & (jax.random.uniform(keys[1], (b,)) < cfg.vflip_p)
-            return fused_flip_scale(images, masks, hf, vf, scales)
+            if hardware_shapes_ok(images.shape[1], images.shape[2]):
+                in_range = jnp.arange(b) < n_aug
+                keys = jax.random.split(key, 6)  # same structure as _augment
+                hf = in_range & (jax.random.uniform(keys[0], (b,)) < cfg.hflip_p)
+                vf = in_range & (jax.random.uniform(keys[1], (b,)) < cfg.vflip_p)
+                return fused_flip_scale(images, masks, hf, vf, scales,
+                                        n_splits=splits_for(dtype_str))
 
     images = images * scales[:, None, None, None]
     if not active or n_aug == 0:
         return images, masks
-    return _augment(key, images, masks, cfg, n_aug, value_max(dtype_str, normalize))
+    # raw int8 tiles at scale 1.0 are integers <= 255: exactly
+    # bf16-representable, so single-pass (DEFAULT) permutation matmuls flip
+    # them bit-exactly at 1/6th the MXU passes of HIGHEST
+    img_precision = (jax.lax.Precision.DEFAULT
+                     if dtype_str == "int8" and scale == 1.0
+                     else jax.lax.Precision.HIGHEST)
+    return _augment(key, images, masks, cfg, n_aug,
+                    value_max(dtype_str, normalize),
+                    img_precision=img_precision)
