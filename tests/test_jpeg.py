@@ -17,6 +17,7 @@ import pytest
 PIL = pytest.importorskip("PIL.Image")
 
 from unet_tpu.geo import jpeg as jpeg_codec
+from unet_tpu.geo import jpeg
 from unet_tpu.geo import tiff
 
 
@@ -395,3 +396,153 @@ class TestNativeJpeg:
         np.testing.assert_array_equal(raw[0], want)
         f32 = self.native.decode_batch([str(p)], 64, 80, 3)
         np.testing.assert_array_equal(f32[0].astype(np.uint8), want)
+
+
+def _make_lossless_tiff(path, arr, strips_rows=None, predictor=1):
+    """Hand-assemble a compression-7 TIFF whose strips are lossless (SOF3)
+    JPEG streams — the layout legacy >8-bit aerial products used. PIL can
+    neither write nor read these; geo.jpeg.encode_lossless produces them."""
+    h, w, c = arr.shape
+    bits = arr.dtype.itemsize * 8
+    rows = strips_rows or h
+    streams = [bytes(jpeg.encode_lossless(arr[y : y + rows], predictor=predictor))
+               for y in range(0, h, rows)]
+    photometric = 2 if c == 3 else 1
+    entries = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, c, None), (259, 3, 1, 7),
+        (262, 3, 1, photometric),
+        (273, 4, len(streams), None), (277, 3, 1, c), (278, 4, 1, rows),
+        (279, 4, len(streams), None),
+    ]
+    entries.sort()
+    ifd_off = 8
+    overflow_pos = ifd_off + 2 + len(entries) * 12 + 4
+    overflow = bytearray()
+    resolved = []
+    for tag, ft, cnt, val in entries:
+        if tag == 258:
+            if c <= 2:
+                resolved.append((tag, ft, c, bits if c == 1 else
+                                 (bits | (bits << 16))))
+            else:
+                resolved.append((tag, ft, c, overflow_pos + len(overflow)))
+                overflow += struct.pack("<" + "H" * c, *([bits] * c))
+        elif tag == 273:
+            off_pos = overflow_pos + len(overflow)
+            overflow += b"\x00" * (4 * len(streams))
+            resolved.append((tag, ft, cnt, off_pos))
+        elif tag == 279:
+            cnt_pos = overflow_pos + len(overflow)
+            overflow += struct.pack("<" + "I" * len(streams),
+                                    *[len(s) for s in streams])
+            resolved.append((tag, ft, cnt, cnt_pos))
+        else:
+            resolved.append((tag, ft, cnt, val))
+    data_off = overflow_pos + len(overflow)
+    offs, pos = [], data_off
+    for s in streams:
+        offs.append(pos)
+        pos += len(s)
+    overflow[off_pos - overflow_pos : off_pos - overflow_pos + 4 * len(streams)] = \
+        struct.pack("<" + "I" * len(streams), *offs)
+    body = struct.pack("<2sHI", b"II", 42, ifd_off) + struct.pack("<H", len(entries))
+    for tag, ft, cnt, val in resolved:
+        body += struct.pack("<HHII", tag, ft, cnt, val)
+    body += struct.pack("<I", 0)
+    path.write_bytes(body + bytes(overflow) + b"".join(streams))
+
+
+class TestLossless:
+    """Lossless JPEG (SOF3, T.81 Annex H): bit-exact round trips through
+    encode_lossless → decode across predictors, precisions, the point
+    transform, and restart markers. PIL decodes none of these, so the
+    encoder is the verification instrument (exact reconstruction of
+    arbitrary random data is unforgeable)."""
+
+    @pytest.mark.parametrize("predictor", [1, 2, 3, 4, 5, 6, 7])
+    def test_all_predictors_rgb8(self, predictor):
+        rng = np.random.default_rng(predictor)
+        arr = rng.integers(0, 256, (37, 41, 3)).astype(np.uint8)
+        got = jpeg.decode(jpeg.encode_lossless(arr, predictor=predictor))
+        assert got.dtype == np.uint8
+        np.testing.assert_array_equal(got, arr)
+
+    @pytest.mark.parametrize("precision", [2, 8, 12, 16])
+    def test_precisions_gray(self, precision):
+        rng = np.random.default_rng(precision)
+        arr = rng.integers(0, 1 << precision, (29, 31)).astype(np.uint16)
+        got = jpeg.decode(jpeg.encode_lossless(arr, precision=precision,
+                                               predictor=4))
+        want_dtype = np.uint8 if precision <= 8 else np.uint16
+        assert got.dtype == want_dtype
+        np.testing.assert_array_equal(got[..., 0], arr.astype(want_dtype))
+
+    def test_smooth_16bit_compresses(self):
+        """A smooth 16-bit surface (the aerial nDSM case) must round-trip
+        exactly AND actually compress (small residuals → short codes)."""
+        y, x = np.mgrid[0:64, 0:72]
+        arr = (20000 + 90 * np.sin(x / 7.0) * 50 + y * 13).astype(np.uint16)
+        stream = jpeg.encode_lossless(arr, predictor=7)
+        assert len(stream) < arr.nbytes
+        np.testing.assert_array_equal(jpeg.decode(stream)[..., 0], arr)
+
+    def test_point_transform(self):
+        rng = np.random.default_rng(5)
+        arr = rng.integers(0, 4096, (17, 23)).astype(np.uint16)
+        got = jpeg.decode(jpeg.encode_lossless(arr, precision=12,
+                                               predictor=1, point_transform=2))
+        np.testing.assert_array_equal(got[..., 0], (arr >> 2) << 2)
+
+    @pytest.mark.parametrize("interval", [31, 23])  # row-aligned... and not
+    def test_restart_markers(self, interval):
+        rng = np.random.default_rng(interval)
+        arr = rng.integers(0, 65536, (13, 31, 3)).astype(np.uint16)
+        stream = jpeg.encode_lossless(arr, predictor=6,
+                                      restart_interval=interval)
+        assert b"\xff\xd0" in stream  # markers actually present
+        np.testing.assert_array_equal(jpeg.decode(stream), arr)
+
+    def test_single_row_and_column(self):
+        rng = np.random.default_rng(9)
+        row = rng.integers(0, 65536, (1, 19)).astype(np.uint16)
+        col = rng.integers(0, 65536, (19, 1)).astype(np.uint16)
+        np.testing.assert_array_equal(jpeg.decode(jpeg.encode_lossless(row, predictor=5))[..., 0], row)
+        np.testing.assert_array_equal(jpeg.decode(jpeg.encode_lossless(col, predictor=5))[..., 0], col)
+
+    def test_encoder_validation(self):
+        arr = np.full((4, 4), 300, np.uint16)
+        with pytest.raises(ValueError, match="exceed 8-bit"):
+            jpeg.encode_lossless(arr, precision=8)
+        with pytest.raises(ValueError, match="Predictor"):
+            jpeg.encode_lossless(arr, predictor=0)
+        with pytest.raises(ValueError, match="Point transform"):
+            jpeg.encode_lossless(arr, point_transform=16)
+
+    def test_lossless_tiff_16bit(self, tmp_path):
+        """Compression-7 TIFF with 16-bit lossless strips reads exactly —
+        the legacy aerial/satellite >8-bit product layout GDAL reads via
+        libjpeg's lossless patch (reference utils.py:39-48 surface)."""
+        rng = np.random.default_rng(3)
+        arr = rng.integers(0, 65536, (48, 40, 1)).astype(np.uint16)
+        p = tmp_path / "ll16.tif"
+        _make_lossless_tiff(p, arr, strips_rows=16, predictor=4)
+        got, info = tiff.read(str(p))
+        assert got.dtype == np.uint16 and info.bands == 1
+        np.testing.assert_array_equal(got[0], arr[..., 0])
+
+    def test_lossless_tiff_rgb8_multistrip(self, tmp_path):
+        rng = np.random.default_rng(4)
+        arr = rng.integers(0, 256, (50, 36, 3)).astype(np.uint8)
+        p = tmp_path / "ll8.tif"
+        _make_lossless_tiff(p, arr, strips_rows=13, predictor=2)
+        got, info = tiff.read(str(p))
+        assert got.dtype == np.uint8 and got.shape == (3, 50, 36)
+        np.testing.assert_array_equal(np.moveaxis(got, 0, 2), arr)
+
+    def test_arithmetic_still_raises(self):
+        stream = bytearray(jpeg.encode_lossless(
+            np.zeros((8, 8), np.uint8)))
+        sof = stream.find(b"\xff\xc3")
+        stream[sof + 1] = 0xCB  # SOF11: arithmetic lossless
+        with pytest.raises(ValueError, match="arithmetic"):
+            jpeg.decode(bytes(stream))

@@ -3,13 +3,18 @@
 GDAL reads JPEG-compressed GeoTIFFs natively (/root/reference/utils.py:39-48
 via libgdal->libjpeg); round 2 fell back to PIL, an optional dependency that
 may be absent in a deployment image (VERDICT r2 "missing" #3). This module
-decodes **baseline sequential** (SOF0/SOF1) and **progressive** (SOF2)
-Huffman JPEG in pure numpy: 8-bit, grayscale or 3-component YCbCr/RGB,
-arbitrary 4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers, multi-scan
-streams with spectral selection + successive approximation (the scan
-scripts libjpeg's ``jpeg_simple_progression`` emits). Arithmetic-coded and
-lossless JPEG raise a ValueError naming the feature (PIL can't produce
-them either; GDAL-written aerial products don't use them).
+decodes **baseline sequential** (SOF0/SOF1), **progressive** (SOF2) and
+**lossless** (SOF3, T.81 Annex H) Huffman JPEG in pure numpy: 8-bit DCT
+modes, 2-16-bit lossless, grayscale or 3-component YCbCr/RGB, arbitrary
+4:4:4 / 4:2:2 / 4:2:0 sampling, restart markers, multi-scan streams with
+spectral selection + successive approximation (the scan scripts libjpeg's
+``jpeg_simple_progression`` emits). Lossless covers all 7 predictors and
+the point transform — the mode legacy aerial/satellite products used for
+>8-bit imagery; :func:`encode_lossless` writes conforming streams so the
+round trip is testable bit-exactly without PIL (which decodes neither).
+Arithmetic-coded JPEG raises a ValueError naming the feature: with no
+conforming sample obtainable and PIL unable to produce one, a QM-coder
+implementation here would be self-consistent but unverifiable.
 
 TIFF new-style JPEG (compression 7) splits shared tables into the
 JPEGTables tag (347) as an "abbreviated tables" stream; pass it as
@@ -170,6 +175,7 @@ class _State:
         self.restart_interval = 0
         self.frame = None  # (precision, h, w, comps)
         self.progressive = False
+        self.lossless = False
         self.scan = None  # per-SOS: {"comps": [...], "ss","se","ah","al"}
 
 
@@ -214,8 +220,9 @@ def _parse_markers(data: bytes, pos: int, state: _State) -> Optional[int]:
                 table = _HuffTable(counts, symbols)
                 (state.huff_dc if tc == 0 else state.huff_ac)[th] = table
                 i += 17 + total
-        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1 seq, SOF2 prog, SOF3 lossless
             state.progressive = marker == 0xC2
+            state.lossless = marker == 0xC3
             precision = seg[0]
             h, w = struct.unpack(">HH", seg[1:5])
             nc = seg[5]
@@ -224,12 +231,11 @@ def _parse_markers(data: bytes, pos: int, state: _State) -> Optional[int]:
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             state.frame = (precision, h, w, comps)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             kind = {0xC9: "arithmetic", 0xCA: "arithmetic",
                     0xCB: "arithmetic", 0xCD: "arithmetic",
-                    0xCE: "arithmetic", 0xCF: "arithmetic",
-                    0xC3: "lossless", 0xC7: "lossless"}.get(marker, "differential")
+                    0xCE: "arithmetic", 0xCF: "arithmetic"}.get(marker, "differential")
             raise ValueError(f"Unsupported JPEG coding: {kind} (SOF{marker - 0xC0})")
         elif marker == 0xDD:  # DRI
             (state.restart_interval,) = struct.unpack(">H", seg[:2])
@@ -438,6 +444,308 @@ def _decode_scan(reader: _BitReader, state: _State, geom: _Geometry,
                 count += 1
 
 
+# ---------------------------------------------------------------------------
+# Lossless mode (SOF3, T.81 Annex H)
+#
+# Each sample's prediction residual is Huffman-coded exactly like a DC
+# coefficient (category SSSS + SSSS extra bits; SSSS=16 means a residual of
+# exactly 32768 with no extra bits). Prediction runs in the
+# point-transformed domain with mod-2^16 arithmetic: the first sample of a
+# scan (and of each restart interval) predicts 2^(P-Pt-1), the rest of that
+# line uses predictor 1 (Ra), the first column of later lines uses
+# predictor 2 (Rb), and everything else uses the scan's selected predictor
+# (Ss = 1..7). Shifts in predictors 5-7 are arithmetic (floor) shifts.
+# ---------------------------------------------------------------------------
+
+_LOSSLESS_MOD = 0xFFFF
+
+
+def _px(ra: int, rb: int, rc: int, sel: int) -> int:
+    if sel == 1:
+        return ra
+    if sel == 2:
+        return rb
+    if sel == 3:
+        return rc
+    if sel == 4:
+        return ra + rb - rc
+    if sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if sel == 6:
+        return rb + ((ra - rc) >> 1)
+    if sel == 7:
+        return (ra + rb) >> 1
+    raise ValueError(f"Invalid lossless predictor selection {sel}")
+
+
+def _reconstruct_plane(d: np.ndarray, sel: int, default: int) -> np.ndarray:
+    """Prediction residuals (ch, cw) int32 → reconstructed samples
+    (mod-2^16, point-transformed domain). Vectorized per row; predictors
+    4-7 carry an Ra dependency and walk the row in Python."""
+    ch, cw = d.shape
+    out = np.zeros((ch, cw), np.int64)
+    out[0] = (np.cumsum(d[0], dtype=np.int64) + default) & _LOSSLESS_MOD
+    for r in range(1, ch):
+        row = d[r]
+        left0 = int(out[r - 1, 0] + row[0]) & _LOSSLESS_MOD  # first col: Rb
+        if sel == 1:
+            acc = np.cumsum(row, dtype=np.int64)
+            out[r] = (acc - int(row[0]) + left0) & _LOSSLESS_MOD
+        elif sel == 2:
+            out[r] = (out[r - 1] + row) & _LOSSLESS_MOD
+            out[r, 0] = left0
+        elif sel == 3:
+            out[r, 0] = left0
+            if cw > 1:
+                out[r, 1:] = (out[r - 1, :-1] + row[1:]) & _LOSSLESS_MOD
+        else:
+            prev = out[r - 1]
+            ra = left0
+            out[r, 0] = left0
+            for c in range(1, cw):
+                px = _px(ra, int(prev[c]), int(prev[c - 1]), sel)
+                ra = (px + int(row[c])) & _LOSSLESS_MOD
+                out[r, c] = ra
+    return out
+
+
+def _read_residual(reader: _BitReader, table: _HuffTable) -> int:
+    t = reader.decode_symbol(table)
+    if t == 16:  # 16-bit data: residual of exactly 32768, no extra bits
+        return 32768
+    return _extend(reader.bits(t), t)
+
+
+def _decode_lossless_scan(reader: _BitReader, state: _State,
+                          samples: List[np.ndarray], pts: List[int],
+                          comps: List[dict], sizes: List[Tuple[int, int]]) -> None:
+    """Decode one lossless scan into the per-component sample buffers."""
+    scan = state.scan
+    sel, pt = scan["ss"], scan["al"]
+    if scan["se"] != 0:
+        raise ValueError("Corrupt JPEG: lossless scan with nonzero Se")
+    precision = state.frame[0]
+    default = 1 << (precision - pt - 1)
+    by_id = {c["id"]: i for i, c in enumerate(comps)}
+    members = []
+    for s in scan["comps"]:
+        if s["cs"] not in by_id:
+            raise ValueError(f"Scan references unknown component {s['cs']}")
+        ci = by_id[s["cs"]]
+        table = state.huff_dc.get(s["dc"])
+        if table is None:
+            raise ValueError("Corrupt JPEG: missing DC Huffman table")
+        members.append((ci, table))
+        pts[ci] = pt
+    if len(members) > 1 and any(
+            comps[ci]["h"] != 1 or comps[ci]["v"] != 1 for ci, _ in members):
+        raise ValueError("Unsupported lossless JPEG: interleaved scan with "
+                         "subsampled components")
+
+    ri = state.restart_interval
+    shapes = [sizes[ci] for ci, _ in members]
+    ch, cw = shapes[0]
+    if any(s != (ch, cw) for s in shapes):
+        raise ValueError("Corrupt JPEG: interleaved lossless components "
+                         "with mismatched dimensions")
+
+    if ri == 0:
+        # fast path: Huffman-decode every residual first, reconstruct after
+        diffs = [np.zeros((ch, cw), np.int32) for _ in members]
+        for r in range(ch):
+            for c in range(cw):
+                for mi, (_, table) in enumerate(members):
+                    diffs[mi][r, c] = _read_residual(reader, table)
+        for mi, (ci, _) in enumerate(members):
+            samples[ci] = _reconstruct_plane(diffs[mi], sel, default)
+        return
+
+    # restart path: fully sequential, resetting scan-start prediction rules
+    # at each interval boundary (remainder of that line then predicts Ra)
+    planes = [np.zeros((ch, cw), np.int64) for _ in members]
+    count = 0
+    anchor = 0  # flat index where the current restart interval began
+    for r in range(ch):
+        for c in range(cw):
+            flat = r * cw + c
+            if ri and count and count % ri == 0:
+                reader.align_restart()
+                anchor = flat
+            for mi, (_, table) in enumerate(members):
+                plane = planes[mi]
+                diff = _read_residual(reader, table)
+                if flat == anchor:
+                    px = default
+                elif flat - anchor < cw - (anchor % cw) and r == anchor // cw:
+                    px = int(plane[r, c - 1])  # first line since restart: Ra
+                elif c == 0:
+                    px = int(plane[r - 1, 0])
+                else:
+                    px = _px(int(plane[r, c - 1]), int(plane[r - 1, c]),
+                             int(plane[r - 1, c - 1]), sel)
+                plane[r, c] = (px + diff) & _LOSSLESS_MOD
+            count += 1
+    for mi, (ci, _) in enumerate(members):
+        samples[ci] = planes[mi]
+
+
+class _BitWriter:
+    """MSB-first bit writer with 0xFF byte stuffing (for the encoder)."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def bits(self, value: int, n: int) -> None:
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            b = (self.acc >> self.nbits) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)
+
+    def align(self) -> None:
+        if self.nbits:
+            self.bits((1 << (8 - self.nbits)) - 1, 8 - self.nbits)  # 1-fill
+
+    def marker(self, m: int) -> None:
+        self.align()
+        self.out += bytes((0xFF, m))
+
+
+def _residual_bits(diff_mod: int) -> Tuple[int, int, int]:
+    """Mod-2^16 residual → (SSSS, extra-bit value, extra-bit count)."""
+    if diff_mod == 32768:
+        return 16, 0, 0
+    signed = diff_mod - 65536 if diff_mod > 32768 else diff_mod
+    ssss = int(signed).bit_length() if signed >= 0 else int(-signed).bit_length()
+    if ssss == 0:
+        return 0, 0, 0
+    extra = signed if signed > 0 else signed + (1 << ssss) - 1
+    return ssss, extra, ssss
+
+
+def encode_lossless(img: np.ndarray, precision: Optional[int] = None,
+                    predictor: int = 1, point_transform: int = 0,
+                    restart_interval: int = 0) -> bytes:
+    """Encode (H, W[, C]) unsigned integer samples as a lossless JPEG
+    (SOF3) stream — T.81 Annex H, any predictor 1-7, 2-16-bit precision.
+
+    The prediction/residual rules mirror :func:`decode`'s lossless path, so
+    ``decode(encode_lossless(x)) == x`` bit-exactly (masked by the point
+    transform when one is used). Exists so lossless JPEG-in-TIFF is
+    testable and producible without any external codec — PIL neither reads
+    nor writes SOF3. Components are encoded interleaved, unsubsampled.
+    """
+    if img.ndim == 2:
+        img = img[..., None]
+    h, w, nc = img.shape
+    if not 1 <= nc <= 4:
+        raise ValueError(f"encode_lossless supports 1-4 components, got {nc}")
+    if np.issubdtype(img.dtype, np.signedinteger) or img.min() < 0:
+        raise ValueError("Lossless JPEG samples must be unsigned")
+    if precision is None:
+        precision = 8 if img.dtype.itemsize == 1 else 16
+    if not 2 <= precision <= 16:
+        raise ValueError(f"Lossless precision must be 2-16, got {precision}")
+    if img.max() >= (1 << precision):
+        raise ValueError(f"Sample values exceed {precision}-bit precision")
+    if not 1 <= predictor <= 7:
+        raise ValueError(f"Predictor selection must be 1-7, got {predictor}")
+    pt = point_transform
+    if not 0 <= pt < precision:
+        raise ValueError(f"Point transform must be 0..{precision - 1}")
+
+    planes = [(img[..., ci].astype(np.int64) >> pt) for ci in range(nc)]
+    default = 1 << (precision - pt - 1)
+
+    def residuals(s: np.ndarray) -> np.ndarray:
+        px = np.empty((h, w), np.int64)
+        px[0, 0] = default
+        if w > 1:
+            px[0, 1:] = s[0, :-1]
+        if h > 1:
+            px[1:, 0] = s[:-1, 0]
+            if w > 1:
+                ra, rb, rc = s[1:, :-1], s[:-1, 1:], s[:-1, :-1]
+                px[1:, 1:] = {
+                    1: lambda: ra,
+                    2: lambda: rb,
+                    3: lambda: rc,
+                    4: lambda: ra + rb - rc,
+                    5: lambda: ra + ((rb - rc) >> 1),
+                    6: lambda: rb + ((ra - rc) >> 1),
+                    7: lambda: (ra + rb) >> 1,
+                }[predictor]()
+        return (s - px) & _LOSSLESS_MOD
+
+    # one shared DC-class table: 17 categories at 5 bits each (canonical,
+    # no all-ones code) — simplicity over optimality for a fixture encoder
+    counts = [0, 0, 0, 0, 17] + [0] * 11
+    symbols = bytes(range(17))
+    codes = {sym: (5, sym) for sym in range(17)}
+
+    wtr = _BitWriter()
+    wtr.out += b"\xff\xd8"  # SOI
+    dht = bytes([0x00]) + bytes(counts) + symbols
+    wtr.out += b"\xff\xc4" + struct.pack(">H", 2 + len(dht)) + dht
+    sof = struct.pack(">BHHB", precision, h, w, nc)
+    for ci in range(nc):
+        sof += bytes((ci + 1, 0x11, 0))
+    wtr.out += b"\xff\xc3" + struct.pack(">H", 2 + len(sof)) + sof
+    if restart_interval:
+        wtr.out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    sos = bytes([nc])
+    for ci in range(nc):
+        sos += bytes((ci + 1, 0x00))
+    sos += bytes((predictor, 0, pt))
+    wtr.out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+
+    if restart_interval == 0:
+        diff_planes = [residuals(s) for s in planes]
+        for r in range(h):
+            for c in range(w):
+                for dp in diff_planes:
+                    ssss, extra, n = _residual_bits(int(dp[r, c]))
+                    ln, code = codes[ssss]
+                    wtr.bits(code, ln)
+                    if n:
+                        wtr.bits(extra, n)
+    else:
+        count = 0
+        anchor = 0
+        rst = 0
+        for r in range(h):
+            for c in range(w):
+                flat = r * w + c
+                if count and count % restart_interval == 0:
+                    wtr.marker(0xD0 + rst)
+                    rst = (rst + 1) & 7
+                    anchor = flat
+                for s in planes:
+                    if flat == anchor:
+                        px = default
+                    elif flat - anchor < w - (anchor % w) and r == anchor // w:
+                        px = int(s[r, c - 1])
+                    elif c == 0:
+                        px = int(s[r - 1, 0])
+                    else:
+                        px = _px(int(s[r, c - 1]), int(s[r - 1, c]),
+                                 int(s[r - 1, c - 1]), predictor)
+                    ssss, extra, n = _residual_bits(
+                        (int(s[r, c]) - px) & _LOSSLESS_MOD)
+                    ln, code = codes[ssss]
+                    wtr.bits(code, ln)
+                    if n:
+                        wtr.bits(extra, n)
+                count += 1
+    wtr.marker(0xD9)  # EOI (align pads with 1-bits)
+    return bytes(wtr.out)
+
+
 def _idct_plane(coefs: np.ndarray, q: np.ndarray) -> np.ndarray:
     """(nby, nbx, 64) zigzag int32 coefficients → (nby*8, nbx*8) float32
     samples, as one vectorized dequant + batch IDCT."""
@@ -472,6 +780,9 @@ def decode(data: bytes, tables: Optional[bytes] = None,
     geom = None
     coefs = None
     comps = None
+    samples = None  # lossless mode: per-component reconstructed planes
+    sizes = None
+    pts = None
     nscans = 0
     while True:
         scan_pos = _parse_markers(data, pos, state)
@@ -479,15 +790,28 @@ def decode(data: bytes, tables: Optional[bytes] = None,
             break
         if state.frame is None:
             raise ValueError("Corrupt JPEG: scan before frame header (SOF)")
-        if geom is None:
-            precision, _, _, comps = state.frame
-            if precision != 8:
-                raise ValueError(f"Unsupported JPEG precision {precision}")
-            geom = _Geometry(state.frame)
-            coefs = [np.zeros((nby, nbx, 64), np.int32)
-                     for nby, nbx, _, _ in geom.grid]
         reader = _BitReader(data, scan_pos)
-        _decode_scan(reader, state, geom, coefs, comps)
+        if state.lossless:
+            if samples is None:
+                precision, h, w, comps = state.frame
+                if not 2 <= precision <= 16:
+                    raise ValueError(f"Unsupported JPEG precision {precision}")
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                sizes = [(-(-h * c["v"] // vmax), -(-w * c["h"] // hmax))
+                         for c in comps]
+                samples = [np.zeros(s, np.int64) for s in sizes]
+                pts = [0] * len(comps)
+            _decode_lossless_scan(reader, state, samples, pts, comps, sizes)
+        else:
+            if geom is None:
+                precision, _, _, comps = state.frame
+                if precision != 8:
+                    raise ValueError(f"Unsupported JPEG precision {precision}")
+                geom = _Geometry(state.frame)
+                coefs = [np.zeros((nby, nbx, 64), np.int32)
+                         for nby, nbx, _, _ in geom.grid]
+            _decode_scan(reader, state, geom, coefs, comps)
         nscans += 1
         pos = _next_marker_pos(data, reader.pos)
 
@@ -495,7 +819,31 @@ def decode(data: bytes, tables: Optional[bytes] = None,
         raise ValueError("JPEG stream has no frame header (SOF)")
     if nscans == 0:
         raise ValueError("JPEG stream has no scan (SOS)")
-    _, h, w, comps = state.frame
+    precision, h, w, comps = state.frame
+
+    if state.lossless:
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        out = []
+        for ci, c in enumerate(comps):
+            p = samples[ci] << pts[ci]
+            fy, fx = vmax // c["v"], hmax // c["h"]
+            if fy > 1 or fx > 1:
+                p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
+            out.append(p[:h, :w])
+        arr = np.stack(out, axis=-1)
+        if len(out) == 3 and color_transform is True:
+            # T.81 defines no color space for lossless; honor an explicit
+            # YCbCr verdict (TIFF photometric 6) at the frame's mid-level
+            y, cb, cr = (arr[..., i].astype(np.float64) for i in range(3))
+            mid = float(1 << (precision - 1))
+            r = y + 1.402 * (cr - mid)
+            g = y - 0.344136 * (cb - mid) - 0.714136 * (cr - mid)
+            b = y + 1.772 * (cb - mid)
+            arr = np.clip(np.rint(np.stack([r, g, b], axis=-1)), 0,
+                          (1 << precision) - 1)
+        dtype = np.uint8 if precision <= 8 else np.uint16
+        return arr.astype(dtype)
 
     # dequant + IDCT per component, upsample to full grid, crop, convert
     out = []
