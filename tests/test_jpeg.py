@@ -546,3 +546,66 @@ class TestLossless:
         stream[sof + 1] = 0xCB  # SOF11: arithmetic lossless
         with pytest.raises(ValueError, match="arithmetic"):
             jpeg.decode(bytes(stream))
+
+
+class TestNativeLossless:
+    """Native lossless decode (jpegdec.cpp decode16): bit parity with the
+    Python Annex-H path and the uint16 batch pipeline."""
+
+    @pytest.fixture(autouse=True)
+    def _need_native(self):
+        from unet_tpu import native
+        if native.get_lib() is None:
+            pytest.skip("native library unavailable")
+        self.native = native
+
+    @pytest.mark.parametrize("predictor", [1, 4, 7])
+    def test_matches_python(self, predictor):
+        rng = np.random.default_rng(predictor)
+        arr = rng.integers(0, 65536, (26, 33, 3)).astype(np.uint16)
+        stream = jpeg.encode_lossless(arr, predictor=predictor)
+        got = self.native.jpeg_decode(stream)
+        assert got.dtype == np.uint16
+        np.testing.assert_array_equal(got, jpeg.decode(stream))
+        np.testing.assert_array_equal(got, arr)
+
+    def test_restart_and_point_transform(self):
+        rng = np.random.default_rng(11)
+        arr = rng.integers(0, 4096, (19, 23)).astype(np.uint16)
+        stream = jpeg.encode_lossless(arr, precision=12, predictor=5,
+                                      point_transform=3, restart_interval=29)
+        got = self.native.jpeg_decode(stream)
+        np.testing.assert_array_equal(got[..., 0], (arr >> 3) << 3)
+
+    def test_8bit_returns_uint8(self):
+        rng = np.random.default_rng(12)
+        arr = rng.integers(0, 256, (14, 15, 3)).astype(np.uint8)
+        got = self.native.jpeg_decode(jpeg.encode_lossless(arr))
+        assert got.dtype == np.uint8
+        np.testing.assert_array_equal(got, arr)
+
+    def test_batch_decoder_reads_16bit_lossless_tiff(self, tmp_path):
+        """int16-style 16-bit lossless tiles ride the multithreaded native
+        batch path (the nDSM training-loader case)."""
+        rng = np.random.default_rng(13)
+        arr = rng.integers(0, 65536, (32, 40, 1)).astype(np.uint16)
+        p = tmp_path / "nb16.tif"
+        _make_lossless_tiff(p, arr, strips_rows=16, predictor=2)
+        want_chw, _ = tiff.read(str(p))
+        raw = self.native.decode_batch_raw([str(p)], 32, 40, 1, np.uint16)
+        np.testing.assert_array_equal(raw[0][..., 0], want_chw[0])
+        np.testing.assert_array_equal(raw[0][..., 0], arr[..., 0])
+
+    def test_batch_decoder_reads_8bit_lossless_tiff(self, tmp_path):
+        rng = np.random.default_rng(14)
+        arr = rng.integers(0, 256, (24, 36, 3)).astype(np.uint8)
+        p = tmp_path / "nb8.tif"
+        _make_lossless_tiff(p, arr, strips_rows=8, predictor=1)
+        raw = self.native.decode_batch_raw([str(p)], 24, 36, 3, np.uint8)
+        np.testing.assert_array_equal(raw[0], arr)
+
+    def test_corrupt_lossless_returns_none(self):
+        stream = bytearray(jpeg.encode_lossless(np.zeros((8, 8), np.uint8)))
+        sos = stream.find(b"\xff\xda")
+        stream[sos + 2 + 3] = 99  # scan names an unknown component
+        assert self.native.jpeg_decode(bytes(stream)) is None

@@ -24,7 +24,7 @@ _tried = False
 
 # ABI version the Python bindings were written against; a stale .so
 # (from an older checkout) is rebuilt in place.
-_ABI_VERSION = 3
+_ABI_VERSION = 4
 
 
 def _build() -> bool:
@@ -109,6 +109,17 @@ def get_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_longlong,
             ctypes.POINTER(ctypes.c_uint8), ctypes.c_longlong,
             intp, intp, intp, ctypes.c_int,
+        ]
+        lib.unet_jpeg_info.restype = ctypes.c_int
+        lib.unet_jpeg_info.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong, intp, intp, intp, intp, intp,
+        ]
+        lib.unet_jpeg_decode16.restype = ctypes.c_int
+        lib.unet_jpeg_decode16.argtypes = [
+            ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.c_char_p, ctypes.c_longlong,
+            ctypes.POINTER(ctypes.c_uint16), ctypes.c_longlong,
+            intp, intp, intp, intp,
         ]
         _lib = lib
     except (OSError, AttributeError):
@@ -224,19 +235,22 @@ def packbits_encode(data: bytes) -> Optional[bytes]:
 
 def jpeg_decode(data: bytes, tables: Optional[bytes] = None,
                 color_transform: Optional[bool] = None) -> Optional[np.ndarray]:
-    """Native JPEG decode (baseline + progressive) → (H, W, C) uint8, or
-    None when the native library is unavailable or the stream needs the
-    Python/PIL path (arithmetic, lossless, 12-bit). Mirrors
-    geo.jpeg.decode semantics; the TIFF codec tries this first and falls
-    back transparently."""
+    """Native JPEG decode → (H, W, C) uint8 (baseline/progressive DCT) or
+    uint8/uint16 (lossless SOF3, by frame precision); None when the native
+    library is unavailable or the stream needs the Python/PIL path
+    (arithmetic, 12-bit DCT). Mirrors geo.jpeg.decode semantics; the TIFF
+    codec tries this first and falls back transparently."""
     lib = get_lib()
     if lib is None:
         return None
     h = ctypes.c_int()
     w = ctypes.c_int()
     c = ctypes.c_int()
-    if lib.unet_jpeg_dims(data, len(data), ctypes.byref(h), ctypes.byref(w),
-                          ctypes.byref(c)) != 0:
+    prec = ctypes.c_int()
+    mode = ctypes.c_int()
+    if lib.unet_jpeg_info(data, len(data), ctypes.byref(h), ctypes.byref(w),
+                          ctypes.byref(c), ctypes.byref(prec),
+                          ctypes.byref(mode)) != 0:
         return None
     if h.value <= 0 or w.value <= 0 or not 1 <= c.value <= 4:
         return None
@@ -245,6 +259,20 @@ def jpeg_decode(data: bytes, tables: Optional[bytes] = None,
         # frame header must not drive the allocation (decode scratch is
         # ~10x the output size)
         return None
+    if mode.value == 2:  # lossless
+        try:
+            out16 = np.empty((h.value, w.value, c.value), np.uint16)
+        except MemoryError:
+            return None
+        rc = lib.unet_jpeg_decode16(
+            data, len(data), tables, len(tables) if tables else 0,
+            out16.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), out16.size,
+            ctypes.byref(h), ctypes.byref(w), ctypes.byref(c),
+            ctypes.byref(prec),
+        )
+        if rc != 0:
+            return None
+        return out16.astype(np.uint8) if prec.value <= 8 else out16
     try:
         out = np.empty((h.value, w.value, c.value), np.uint8)
     except MemoryError:

@@ -17,6 +17,7 @@
 
 #include "jpegdec.h"
 
+#include <algorithm>
 #include <cmath>
 #include <cstring>
 #include <vector>
@@ -187,6 +188,7 @@ struct JState {
   int restart_interval = 0;
   bool has_frame = false;
   bool progressive = false;
+  bool lossless = false;
   int precision = 0, h = 0, w = 0, nc = 0;
   Comp comps[4];
   // current scan (refreshed at each SOS)
@@ -248,11 +250,13 @@ long long parse_segments(const uint8_t* data, long long n, long long pos,
         t.build(seg + i + 1, seg + i + 17, total);
         i += 17 + total;
       }
-    } else if (marker == 0xC0 || marker == 0xC1 || marker == 0xC2) {
-      // SOF0/SOF1 baseline, SOF2 progressive
+    } else if (marker == 0xC0 || marker == 0xC1 || marker == 0xC2 ||
+               marker == 0xC3) {
+      // SOF0/SOF1 baseline, SOF2 progressive, SOF3 lossless
       if (st.has_frame) return -3;  // a second frame would invalidate the
                                     // coefficient-buffer geometry mid-decode
       st.progressive = marker == 0xC2;
+      st.lossless = marker == 0xC3;
       if (sn < 6) return -3;
       st.precision = seg[0];
       st.h = (seg[1] << 8) | seg[2];
@@ -269,11 +273,10 @@ long long parse_segments(const uint8_t* data, long long n, long long pos,
           return -3;
       }
       st.has_frame = true;
-    } else if (marker == 0xC3 || marker == 0xC5 || marker == 0xC6 ||
-               marker == 0xC7 || marker == 0xC9 || marker == 0xCA ||
-               marker == 0xCB || marker == 0xCD || marker == 0xCE ||
-               marker == 0xCF) {
-      return -2;  // arithmetic / lossless / differential
+    } else if (marker == 0xC5 || marker == 0xC6 || marker == 0xC7 ||
+               marker == 0xC9 || marker == 0xCA || marker == 0xCB ||
+               marker == 0xCD || marker == 0xCE || marker == 0xCF) {
+      return -2;  // arithmetic / differential
     } else if (marker == 0xDD) {  // DRI
       if (sn < 2) return -3;
       st.restart_interval = (seg[0] << 8) | seg[1];
@@ -298,7 +301,12 @@ long long parse_segments(const uint8_t* data, long long n, long long pos,
       st.se = seg[2 + 2 * st.scan_nc];
       st.ah = seg[3 + 2 * st.scan_nc] >> 4;
       st.al = seg[3 + 2 * st.scan_nc] & 0xF;
-      if (st.ss > 63 || st.se > 63 || st.se < st.ss) return -3;
+      if (st.lossless) {
+        // lossless scan header: Ss = predictor 1-7, Se = 0, Al = Pt
+        if (st.ss < 1 || st.ss > 7 || st.se != 0) return -3;
+      } else if (st.ss > 63 || st.se > 63 || st.se < st.ss) {
+        return -3;
+      }
       return pos + 2 + seglen;
     }
     pos += 2 + seglen;
@@ -644,6 +652,7 @@ int jpeg_decode_impl(const uint8_t* data, long long n, const uint8_t* tables,
     if (scan_pos < 0) break;  // EOI / end: no further scans
     if (!st.has_frame) return -1;
     if (!geom_ready) {
+      if (st.lossless) return -2;  // SOF3 rides jpeg_decode16_impl
       if (st.precision != 8) return -2;
       if (st.h <= 0 || st.w <= 0) return -1;
       // a forged frame header must not drive allocation past the caller's
@@ -772,6 +781,184 @@ int jpeg_decode_impl(const uint8_t* data, long long n, const uint8_t* tables,
   return -1;  // bad_alloc etc. must not escape the C ABI
 }
 
+// --------------------------------------------------------------------------
+// Lossless mode (SOF3, T.81 Annex H) — native twin of geo/jpeg.py's
+// Annex-H path. Residuals are Huffman-coded as DC categories (SSSS=16 is a
+// residual of exactly 32768 with no extra bits); prediction runs mod 2^16
+// in the point-transformed domain with the scan-start / line-start /
+// restart rules. Fully sequential: the Ra dependency chains every sample,
+// and at native speed that is already ~100x the vectorized numpy path.
+// --------------------------------------------------------------------------
+
+inline long long lossless_px(long long ra, long long rb, long long rc,
+                             int sel) {
+  switch (sel) {
+    case 1: return ra;
+    case 2: return rb;
+    case 3: return rc;
+    case 4: return ra + rb - rc;
+    case 5: return ra + ((rb - rc) >> 1);
+    case 6: return rb + ((ra - rc) >> 1);
+    default: return (ra + rb) >> 1;  // 7 (validated by the caller)
+  }
+}
+
+int jpeg_info_impl(const uint8_t* data, long long n, int* h, int* w, int* c,
+                   int* precision, int* mode) {
+  if (n < 2 || data[0] != 0xFF || data[1] != 0xD8) return -3;
+  long long pos = 2;
+  while (pos + 4 <= n) {
+    if (data[pos] != 0xFF) {
+      pos++;
+      continue;
+    }
+    int marker = data[pos + 1];
+    if (marker == 0xD8 || marker == 0x01 || (marker >= 0xD0 && marker <= 0xD7)) {
+      pos += 2;
+      continue;
+    }
+    if (marker == 0xD9 || marker == 0xDA) return -1;
+    int seglen = (data[pos + 2] << 8) | data[pos + 3];
+    if (pos + 2 + seglen > n || seglen < 2) return -3;
+    if (marker >= 0xC0 && marker <= 0xC3) {
+      const uint8_t* seg = data + pos + 4;
+      if (seglen - 2 < 6) return -3;
+      *precision = seg[0];
+      *h = (seg[1] << 8) | seg[2];
+      *w = (seg[3] << 8) | seg[4];
+      *c = seg[5];
+      *mode = (marker == 0xC3) ? 2 : 0;
+      return 0;
+    }
+    if (marker >= 0xC5 && marker <= 0xCF && marker != 0xC8 && marker != 0xCC)
+      return -2;  // arithmetic / differential frame
+    pos += 2 + seglen;
+  }
+  return -1;
+}
+
+int jpeg_decode16_impl(const uint8_t* data, long long n,
+                       const uint8_t* tables, long long tn, uint16_t* dst,
+                       long long cap, int* out_h, int* out_w, int* out_c,
+                       int* out_precision) try {
+  JState st;
+  if (tables && tn > 0) {
+    if (tn < 2 || tables[0] != 0xFF || tables[1] != 0xD8) return -3;
+    long long r = parse_segments(tables, tn, 2, st);
+    if (r == -2 || r == -3) return (int)r;
+  }
+  if (n < 2 || data[0] != 0xFF || data[1] != 0xD8) return -3;
+
+  std::vector<std::vector<uint16_t>> planes;
+  int sizes_h[4], sizes_w[4], pts[4] = {0, 0, 0, 0};
+  long long pos = 2;
+  int nscans = 0;
+  bool ready = false;
+  while (true) {
+    long long scan_pos = parse_segments(data, n, pos, st);
+    if (scan_pos == -2 || scan_pos == -3) return (int)scan_pos;
+    if (scan_pos < 0) break;
+    if (!st.has_frame) return -1;
+    if (!st.lossless) return -2;  // DCT modes ride jpeg_decode_impl
+    if (!ready) {
+      if (st.precision < 2 || st.precision > 16) return -1;
+      if (st.h <= 0 || st.w <= 0) return -1;
+      if ((long long)st.h * st.w * st.nc > cap) return -3;
+      int hmax = 1, vmax = 1;
+      for (int c = 0; c < st.nc; c++) {
+        hmax = std::max(hmax, st.comps[c].h);
+        vmax = std::max(vmax, st.comps[c].v);
+      }
+      planes.resize(st.nc);
+      for (int c = 0; c < st.nc; c++) {
+        sizes_h[c] = (st.h * st.comps[c].v + vmax - 1) / vmax;
+        sizes_w[c] = (st.w * st.comps[c].h + hmax - 1) / hmax;
+        planes[c].assign((size_t)sizes_h[c] * sizes_w[c], 0);
+      }
+      ready = true;
+    }
+    // one scan
+    int sel = st.ss, pt = st.al;
+    if (st.se != 0 || sel < 1 || sel > 7) return -1;
+    if (pt < 0 || pt >= st.precision) return -1;
+    const long long dflt = 1LL << (st.precision - pt - 1);
+    int members[4] = {0, 0, 0, 0};
+    const HuffTbl* tbls[4] = {nullptr, nullptr, nullptr, nullptr};
+    for (int m = 0; m < st.scan_nc; m++) {
+      int ci = st.scan_order[m];
+      members[m] = ci;
+      if (!st.huff_dc[st.comps[ci].dc].present) return -1;
+      tbls[m] = &st.huff_dc[st.comps[ci].dc];
+      pts[ci] = pt;
+      if (st.scan_nc > 1 && (st.comps[ci].h != 1 || st.comps[ci].v != 1))
+        return -1;  // interleaved lossless with subsampling: unsupported
+    }
+    const int ch = sizes_h[members[0]], cw = sizes_w[members[0]];
+    for (int m = 1; m < st.scan_nc; m++)
+      if (sizes_h[members[m]] != ch || sizes_w[members[m]] != cw) return -1;
+
+    BitSrc br{data, n, scan_pos};
+    const int ri = st.restart_interval;
+    long long anchor = 0, count = 0;
+    for (int r = 0; r < ch; r++) {
+      const long long rowbase = (long long)r * cw;
+      for (int c = 0; c < cw; c++) {
+        const long long flat = rowbase + c;
+        if (ri && count && count % ri == 0) {
+          br.align_restart();
+          anchor = flat;
+        }
+        for (int m = 0; m < st.scan_nc; m++) {
+          int t = br.decode(*tbls[m]);
+          if (t < 0 || t > 16) return -1;
+          long long diff = (t == 16) ? 32768 : jextend(br.bits(t), t);
+          uint16_t* p = planes[members[m]].data();
+          long long px;
+          if (flat == anchor) {
+            px = dflt;
+          } else if (r == (int)(anchor / cw)) {
+            px = p[flat - 1];  // first line since scan start/restart: Ra
+          } else if (c == 0) {
+            px = p[flat - cw];
+          } else {
+            px = lossless_px(p[flat - 1], p[flat - cw], p[flat - cw - 1], sel);
+          }
+          p[flat] = (uint16_t)((px + diff) & 0xFFFF);
+        }
+        count++;
+      }
+    }
+    nscans++;
+    pos = next_marker_pos(data, n, br.pos);
+  }
+  if (!st.has_frame || nscans == 0) return -1;
+
+  int hmax = 1, vmax = 1;
+  for (int c = 0; c < st.nc; c++) {
+    hmax = std::max(hmax, st.comps[c].h);
+    vmax = std::max(vmax, st.comps[c].v);
+  }
+  for (int ci = 0; ci < st.nc; ci++) {
+    const uint16_t* p = planes[ci].data();
+    const int pw = sizes_w[ci];
+    const int fy = vmax / st.comps[ci].v, fx = hmax / st.comps[ci].h;
+    const int shift = pts[ci];
+    for (int y = 0; y < st.h; y++) {
+      const uint16_t* prow = p + (size_t)(y / fy) * pw;
+      uint16_t* drow = dst + ((size_t)y * st.w) * st.nc + ci;
+      for (int x = 0; x < st.w; x++)
+        drow[(size_t)x * st.nc] = (uint16_t)(prow[x / fx] << shift);
+    }
+  }
+  *out_h = st.h;
+  *out_w = st.w;
+  *out_c = st.nc;
+  *out_precision = st.precision;
+  return 0;
+} catch (const std::exception&) {
+  return -1;
+}
+
 }  // namespace unet_native
 
 extern "C" {
@@ -785,6 +972,19 @@ int unet_jpeg_decode(const uint8_t* data, long long n, const uint8_t* tables,
                      int* out_w, int* out_c, int color_transform) {
   return unet_native::jpeg_decode_impl(data, n, tables, tn, dst, cap, out_h,
                                        out_w, out_c, color_transform);
+}
+
+int unet_jpeg_info(const uint8_t* data, long long n, int* h, int* w, int* c,
+                   int* precision, int* mode) {
+  return unet_native::jpeg_info_impl(data, n, h, w, c, precision, mode);
+}
+
+int unet_jpeg_decode16(const uint8_t* data, long long n,
+                       const uint8_t* tables, long long tn, uint16_t* dst,
+                       long long cap, int* out_h, int* out_w, int* out_c,
+                       int* out_precision) {
+  return unet_native::jpeg_decode16_impl(data, n, tables, tn, dst, cap, out_h,
+                                         out_w, out_c, out_precision);
 }
 
 }  // extern "C"

@@ -25,4 +25,19 @@ int jpeg_decode_impl(const uint8_t* data, long long n, const uint8_t* tables,
                      long long tn, uint8_t* dst, long long cap, int* out_h,
                      int* out_w, int* out_c, int color_transform);
 
+// Like jpeg_dims_impl but also reports `precision` (bits/sample) and
+// `mode`: 0 = baseline/progressive DCT, 2 = lossless (SOF3). Arithmetic
+// and differential frames still return -2.
+int jpeg_info_impl(const uint8_t* data, long long n, int* h, int* w, int* c,
+                   int* precision, int* mode);
+
+// Decode a lossless (SOF3) Huffman JPEG stream into interleaved uint16
+// HWC `dst` (capacity `cap` VALUES). Native twin of geo/jpeg.py's
+// Annex-H path: same predictor / scan-start / restart rules, bit-exact.
+// Fills out_precision so callers can downcast <=8-bit frames.
+int jpeg_decode16_impl(const uint8_t* data, long long n,
+                       const uint8_t* tables, long long tn, uint16_t* dst,
+                       long long cap, int* out_h, int* out_w, int* out_c,
+                       int* out_precision);
+
 }  // namespace unet_native

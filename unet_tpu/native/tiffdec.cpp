@@ -491,8 +491,7 @@ const uint8_t* prep_segment(const std::vector<uint8_t>& d, const Ifd& ifd,
     // tag 347; PhotometricInterpretation decides the YCbCr transform
     // (mirrors geo/tiff.py _decode_chunk). Tiles may be MCU-padded past
     // the requested region — decode at frame size, crop top-left.
-    if (ifd.bits != 8 || ifd.sample_format != 1 || ifd.predictor != 1)
-      return nullptr;
+    if (ifd.sample_format != 1 || ifd.predictor != 1) return nullptr;
     const uint8_t* tb = nullptr;
     long long tbn = 0;
     if (ifd.jpegtables_len > 4 &&
@@ -500,15 +499,43 @@ const uint8_t* prep_segment(const std::vector<uint8_t>& d, const Ifd& ifd,
       tb = d.data() + ifd.jpegtables_off;
       tbn = (long long)ifd.jpegtables_len;
     }
-    int fh, fw, fc;
-    if (unet_native::jpeg_dims_impl(d.data() + off, (long long)cnt, &fh, &fw, &fc) != 0)
+    int fh, fw, fc, fprec, fmode;
+    if (unet_native::jpeg_info_impl(d.data() + off, (long long)cnt, &fh, &fw,
+                                    &fc, &fprec, &fmode) != 0)
       return nullptr;
     if (fc != (int)ch || fh < (int)rows || fw < (int)w_seg) return nullptr;
     // MCU round-up is the only legitimate excess; a forged frame header
     // must not drive a giant allocation
     if (fh > (int)rows + 64 || fw > (int)w_seg + 64) return nullptr;
-    sc.jpeg.resize((size_t)fh * fw * fc);
     int oh, ow, oc;
+    if (fmode == 2) {
+      // lossless (SOF3): 8- or 16-bit samples, no color transform
+      if (ifd.bits != 8 && ifd.bits != 16) return nullptr;
+      std::vector<uint16_t> wide((size_t)fh * fw * fc);
+      int oprec;
+      if (unet_native::jpeg_decode16_impl(
+              d.data() + off, (long long)cnt, tb, tbn, wide.data(),
+              (long long)wide.size(), &oh, &ow, &oc, &oprec) != 0)
+        return nullptr;
+      sc.seg.resize(decoded);
+      if (ifd.bits == 16) {
+        uint16_t* out = reinterpret_cast<uint16_t*>(sc.seg.data());
+        for (uint32_t rrow = 0; rrow < rows; rrow++)
+          std::memcpy(out + (size_t)rrow * w_seg * ch,
+                      wide.data() + (size_t)rrow * fw * fc,
+                      (size_t)w_seg * ch * 2);
+      } else {
+        for (uint32_t rrow = 0; rrow < rows; rrow++) {
+          const uint16_t* src = wide.data() + (size_t)rrow * fw * fc;
+          uint8_t* out = sc.seg.data() + (size_t)rrow * w_seg * ch;
+          for (size_t i = 0; i < (size_t)w_seg * ch; i++)
+            out[i] = (uint8_t)src[i];
+        }
+      }
+      return sc.seg.data();
+    }
+    if (ifd.bits != 8) return nullptr;
+    sc.jpeg.resize((size_t)fh * fw * fc);
     int ct = (ifd.photometric == 6) ? 1 : (ifd.photometric == 2 ? 0 : -1);
     if (unet_native::jpeg_decode_impl(d.data() + off, (long long)cnt, tb, tbn,
                          sc.jpeg.data(), (long long)sc.jpeg.size(), &oh, &ow,
@@ -833,6 +860,6 @@ long long unet_packbits_encode(const uint8_t* src, long long n, uint8_t* dst,
   return packbits_encode_impl(src, n, dst, cap);
 }
 
-int unet_native_version(void) { return 3; }
+int unet_native_version(void) { return 4; }
 
 }  // extern "C"
