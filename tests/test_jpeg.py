@@ -72,12 +72,15 @@ class TestBaselineDecoder:
         got = jpeg_codec.decode(data).astype(np.int16)
         assert np.abs(got - want).max() <= 3
 
-    def test_arithmetic_raises_clearly(self):
-        # PIL can't emit arithmetic-coded JPEG; a crafted SOF9 header
-        # checks the error path names the feature.
-        data = b"\xff\xd8\xff\xc9" + struct.pack(">H", 8) + bytes(6) + b"\xff\xd9"
-        with pytest.raises(ValueError, match="arithmetic"):
-            jpeg_codec.decode(data)
+    def test_unsupported_modes_raise_clearly(self):
+        # Arithmetic sequential/progressive now decode (test_jpeg_arith);
+        # the remaining gaps — hierarchical/differential frames and
+        # arithmetic lossless (SOF11, no known encoder) — name themselves.
+        for sof, pattern in ((0xC5, "differential"), (0xCB, "arithmetic lossless")):
+            data = (b"\xff\xd8\xff" + bytes([sof]) + struct.pack(">H", 8)
+                    + bytes(6) + b"\xff\xd9")
+            with pytest.raises(ValueError, match=pattern):
+                jpeg_codec.decode(data)
 
 
 class TestProgressiveDecoder:

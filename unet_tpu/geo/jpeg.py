@@ -12,9 +12,11 @@ spectral selection + successive approximation (the scan scripts libjpeg's
 the point transform — the mode legacy aerial/satellite products used for
 >8-bit imagery; :func:`encode_lossless` writes conforming streams so the
 round trip is testable bit-exactly without PIL (which decodes neither).
-Arithmetic-coded JPEG raises a ValueError naming the feature: with no
-conforming sample obtainable and PIL unable to produce one, a QM-coder
-implementation here would be self-consistent but unverifiable.
+Arithmetic-coded scans (SOF9 sequential + SOF10 progressive, T.81 Annex
+D QM-coder) decode through :mod:`.jpeg_arith`, pinned bit-exactly against
+libjpeg's coder at the coefficient level; only the hierarchical modes and
+arithmetic lossless (SOF11, which no known encoder emits) remain
+unsupported, with a clear error.
 
 TIFF new-style JPEG (compression 7) splits shared tables into the
 JPEGTables tag (347) as an "abbreviated tables" stream; pass it as
@@ -176,6 +178,9 @@ class _State:
         self.frame = None  # (precision, h, w, comps)
         self.progressive = False
         self.lossless = False
+        self.arith = False  # SOF9/SOF10: QM-coded entropy layer
+        self.arith_dc_cond: Dict[int, tuple] = {}  # DAC: table → (L, U)
+        self.arith_ac_cond: Dict[int, int] = {}    # DAC: table → Kx
         self.scan = None  # per-SOS: {"comps": [...], "ss","se","ah","al"}
 
 
@@ -220,8 +225,11 @@ def _parse_markers(data: bytes, pos: int, state: _State) -> Optional[int]:
                 table = _HuffTable(counts, symbols)
                 (state.huff_dc if tc == 0 else state.huff_ac)[th] = table
                 i += 17 + total
-        elif marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOF0/1 seq, SOF2 prog, SOF3 lossless
-            state.progressive = marker == 0xC2
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC3, 0xC9, 0xCA):
+            # SOF0/1 sequential, SOF2 progressive, SOF3 lossless (Huffman);
+            # SOF9 sequential, SOF10 progressive (arithmetic, T.81 Annex D)
+            state.progressive = marker in (0xC2, 0xCA)
+            state.arith = marker in (0xC9, 0xCA)
             state.lossless = marker == 0xC3
             precision = seg[0]
             h, w = struct.unpack(">HH", seg[1:5])
@@ -231,12 +239,23 @@ def _parse_markers(data: bytes, pos: int, state: _State) -> Optional[int]:
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             state.frame = (precision, h, w, comps)
-        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
-                        0xCD, 0xCE, 0xCF):
-            kind = {0xC9: "arithmetic", 0xCA: "arithmetic",
-                    0xCB: "arithmetic", 0xCD: "arithmetic",
-                    0xCE: "arithmetic", 0xCF: "arithmetic"}.get(marker, "differential")
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+            kind = {0xCB: "arithmetic lossless (no known encoder emits "
+                          "this)"}.get(marker, "differential/hierarchical")
             raise ValueError(f"Unsupported JPEG coding: {kind} (SOF{marker - 0xC0})")
+        elif marker == 0xCC:  # DAC: arithmetic conditioning (T.81 B.2.4.3)
+            for i in range(0, len(seg) - 1, 2):
+                tc, tb, val = seg[i] >> 4, seg[i] & 0xF, seg[i + 1]
+                if tc == 0:
+                    lo, up = val & 0xF, val >> 4
+                    if not lo <= up <= 15:
+                        raise ValueError("Corrupt JPEG: DAC DC bounds "
+                                         f"L={lo} U={up}")
+                    state.arith_dc_cond[tb] = (lo, up)
+                else:
+                    if not 1 <= val <= 63:
+                        raise ValueError(f"Corrupt JPEG: DAC AC Kx={val}")
+                    state.arith_ac_cond[tb] = val
         elif marker == 0xDD:  # DRI
             (state.restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
@@ -790,6 +809,21 @@ def decode(data: bytes, tables: Optional[bytes] = None,
             break
         if state.frame is None:
             raise ValueError("Corrupt JPEG: scan before frame header (SOF)")
+        if state.arith:
+            from . import jpeg_arith
+
+            if geom is None:
+                precision, _, _, comps = state.frame
+                if precision != 8:
+                    raise ValueError(f"Unsupported JPEG precision {precision}")
+                geom = _Geometry(state.frame)
+                coefs = [np.zeros((nby, nbx, 64), np.int32)
+                         for nby, nbx, _, _ in geom.grid]
+            dec = jpeg_arith.decode_scan(data, scan_pos, state, geom,
+                                         coefs, comps)
+            nscans += 1
+            pos = _next_marker_pos(data, dec.pos)
+            continue
         reader = _BitReader(data, scan_pos)
         if state.lossless:
             if samples is None:
