@@ -35,3 +35,15 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(scope="session")
+def jpegref(tmp_path_factory):
+    """The libjpeg interop harness (tools/jpegref.c), compiled once per
+    session; JPEG entropy-layer tests skip when it can't be built."""
+    from jpeg_util import build_jpegref
+
+    exe = build_jpegref(tmp_path_factory.mktemp("jpegref"))
+    if exe is None:
+        pytest.skip("libjpeg harness unavailable (no toolchain/libjpeg)")
+    return exe

@@ -612,3 +612,86 @@ class TestNativeLossless:
         sos = stream.find(b"\xff\xda")
         stream[sos + 2 + 3] = 99  # scan names an unknown component
         assert self.native.jpeg_decode(bytes(stream)) is None
+
+
+class TestBaselineEncoder:
+    """encode_baseline (SOF0, optimized Huffman tables): round trips
+    through our decoder, PIL, and libjpeg's coefficient reader."""
+
+    @pytest.mark.parametrize("sub", ["4:4:4", "4:2:2", "4:2:0"])
+    @pytest.mark.parametrize("restart", [0, 5])
+    def test_libjpeg_reads_back_exact_coefficients(self, jpegref, tmp_path,
+                                                   sub, restart):
+        from jpeg_util import coefs_equal, entropy_coefs, libjpeg_coefs, scene
+
+        data = jpeg.encode_baseline(scene(nc=3), quality=88, subsampling=sub,
+                                    restart_interval=restart)
+        assert coefs_equal(entropy_coefs(data),
+                           libjpeg_coefs(jpegref, data, tmp_path))
+
+    @pytest.mark.parametrize("nc", [1, 3, 4])
+    def test_round_trip_error_bounded(self, nc):
+        from jpeg_util import scene
+
+        arr = scene(nc=nc, seed=nc)
+        out = jpeg.decode(jpeg.encode_baseline(arr, quality=95))
+        if nc == 1:
+            out = out[..., 0]
+        assert np.abs(out.astype(np.int16) - arr.astype(np.int16)).mean() < 4
+
+    @pytest.mark.parametrize("sub", ["4:4:4", "4:2:2", "4:2:0"])
+    def test_pil_decodes_our_stream(self, sub):
+        from jpeg_util import scene
+
+        arr = scene(nc=3, seed=7)
+        data = jpeg.encode_baseline(arr, quality=92, subsampling=sub)
+        want = np.asarray(PIL.open(io.BytesIO(data)).convert("RGB")
+                          ).astype(np.int16)
+        got = jpeg.decode(data).astype(np.int16)
+        # two decoders' color+upsample rounding stack on the encode side
+        # too, so the envelope is wider than the decode-only ±3
+        diff = np.abs(got - want)
+        assert diff.max() <= 8 and diff.mean() < 1.0
+
+    def test_gray_matches_pil_tightly(self):
+        from jpeg_util import scene
+
+        arr = scene(nc=1, seed=5)
+        data = jpeg.encode_baseline(arr, quality=90)
+        want = np.asarray(PIL.open(io.BytesIO(data)).convert("L")
+                          ).astype(np.int16)
+        diff = np.abs(jpeg.decode(data)[..., 0].astype(np.int16) - want)
+        assert diff.max() <= 2
+
+    def test_restart_interval_output_identical(self):
+        from jpeg_util import scene
+
+        arr = scene(nc=1, seed=9)
+        a = jpeg.decode(jpeg.encode_baseline(arr, quality=90))
+        b = jpeg.decode(jpeg.encode_baseline(arr, quality=90,
+                                             restart_interval=3))
+        assert np.array_equal(a, b)
+
+    def test_constant_image_single_symbol_tables(self):
+        # one DC category + EOB only: the optimal-table builder must
+        # produce a valid 1-entry code (reserved symbol eats all-ones)
+        arr = np.full((24, 40), 130, np.uint8)
+        out = jpeg.decode(jpeg.encode_baseline(arr, quality=90))
+        assert np.abs(out.astype(np.int16) - 130).max() <= 2
+
+    def test_deterministic(self):
+        from jpeg_util import scene
+
+        arr = scene(nc=3, seed=11)
+        assert (jpeg.encode_baseline(arr, quality=77)
+                == jpeg.encode_baseline(arr, quality=77))
+
+    def test_input_validation(self):
+        with pytest.raises(ValueError, match="8-bit"):
+            jpeg.encode_baseline(np.zeros((8, 8), np.uint16))
+        with pytest.raises(ValueError, match="subsampling"):
+            jpeg.encode_baseline(np.zeros((8, 8), np.uint8),
+                                 subsampling="4:1:1")
+        with pytest.raises(ValueError, match="3-channel"):
+            jpeg.encode_baseline(np.zeros((8, 8), np.uint8),
+                                 subsampling="4:2:0")

@@ -11,97 +11,18 @@ convention, tests/test_jpeg.py).
 """
 
 import io
-import shutil
 import struct
-import subprocess
 
 import numpy as np
 import pytest
 
+from jpeg_util import (coefs_equal as _coefs_equal,
+                       entropy_coefs as _my_coefs,
+                       libjpeg_coefs as _libjpeg_coefs,
+                       libjpeg_encode as _libjpeg_encode, scene as _scene)
 from unet_tpu.geo import jpeg, jpeg_arith, tiff
 
 PIL = pytest.importorskip("PIL.Image")
-
-
-@pytest.fixture(scope="session")
-def jpegref(tmp_path_factory):
-    """Build the libjpeg harness; skip interop tests when unavailable."""
-    src = __file__.rsplit("/", 2)[0] + "/tools/jpegref.c"
-    exe = tmp_path_factory.mktemp("jpegref") / "jpegref"
-    gcc = shutil.which("gcc") or shutil.which("g++")
-    if gcc is None:
-        pytest.skip("no C toolchain for the libjpeg harness")
-    r = subprocess.run([gcc, "-O2", src, "-o", str(exe), "-ljpeg"],
-                       capture_output=True)
-    if r.returncode != 0:
-        pytest.skip(f"libjpeg harness build failed: {r.stderr[:200]}")
-    return str(exe)
-
-
-def _scene(h=53, w=71, seed=2, nc=3):
-    rng = np.random.default_rng(seed)
-    yy, xx = np.mgrid[0:h, 0:w]
-    chans = [yy * 4 % 251, xx * 3 % 241, (yy + xx) * 2 % 233,
-             (yy * xx) % 199][:nc]
-    base = np.stack(chans, -1) + rng.normal(0, 15, (h, w, nc))
-    arr = np.clip(base, 0, 255).astype(np.uint8)
-    return arr[..., 0] if nc == 1 else arr
-
-
-def _libjpeg_encode(exe, arr, tmp, quality=90, progressive=0, restart=0):
-    nc = 1 if arr.ndim == 2 else arr.shape[2]
-    h, w = arr.shape[:2]
-    raw = tmp / "in.raw"
-    out = tmp / "out.jpg"
-    arr.tofile(raw)
-    subprocess.run([exe, "enc", str(raw), str(w), str(h), str(nc),
-                    str(quality), str(progressive), str(restart), str(out)],
-                   check=True, capture_output=True)
-    return out.read_bytes()
-
-
-def _libjpeg_coefs(exe, data, tmp):
-    jp = tmp / "c.jpg"
-    cb = tmp / "c.bin"
-    jp.write_bytes(data)
-    subprocess.run([exe, "coef", str(jp), str(cb)], check=True,
-                   capture_output=True)
-    raw = cb.read_bytes()
-    out, off = [], 0
-    while off < len(raw):
-        _, bh, bw = np.frombuffer(raw[off:off + 12], np.int32)
-        off += 12
-        out.append(np.frombuffer(raw[off:off + bh * bw * 128], np.int16)
-                   .reshape(bh, bw, 64).astype(np.int32))
-        off += bh * bw * 128
-    return out
-
-
-def _my_coefs(data):
-    """Entropy-decode all scans, returning natural-order coefficients."""
-    state = jpeg._State()
-    scan_pos = jpeg._parse_markers(data, 2, state)
-    assert state.arith, "fixture must be arithmetic-coded"
-    geom = jpeg._Geometry(state.frame)
-    comps = state.frame[3]
-    coefs = [np.zeros((nby, nbx, 64), np.int32)
-             for nby, nbx, _, _ in geom.grid]
-    while scan_pos is not None:
-        dec = jpeg_arith.decode_scan(data, scan_pos, state, geom, coefs,
-                                     comps)
-        scan_pos = jpeg._parse_markers(
-            data, jpeg._next_marker_pos(data, dec.pos), state)
-    nat = []
-    for c in coefs:
-        g = np.zeros_like(c)
-        g[..., jpeg.ZIGZAG] = c
-        nat.append(g)
-    return nat
-
-
-def _coefs_equal(mine, libjpegs):
-    return all(np.array_equal(m[:l.shape[0], :l.shape[1]], l)
-               for m, l in zip(mine, libjpegs))
 
 
 class TestDecodeInterop:

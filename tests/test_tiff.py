@@ -301,3 +301,105 @@ def test_window_shifts_transform():
     assert sub.data.shape == (2, 40, 40)
     assert sub.transform[0] == TRANSFORM[0] + 20 * 0.2
     assert sub.transform[3] == TRANSFORM[3] - 10 * 0.2
+
+
+class TestJpegWrite:
+    """compress='jpeg' / 'jpeg-lossless' writes — GDAL's COMPRESS=JPEG
+    orthophoto layout (new-style JPEG, compression 7), produced rather
+    than only read."""
+
+    def test_lossy_rgb_strips_round_trip_and_pil(self, tmp_path, rng):
+        from PIL import Image
+
+        yy, xx = np.mgrid[0:200, 0:150]
+        arr = np.clip(np.stack([yy % 251, xx % 241, (yy + xx) % 233])
+                      + rng.normal(0, 10, (3, 200, 150)), 0,
+                      255).astype(np.uint8)
+        p = tmp_path / "j.tif"
+        tiff.write(str(p), arr, transform=TRANSFORM, crs="EPSG:25832",
+                   compress="jpeg", quality=92, rows_per_strip=64)
+        back, info = tiff.read(str(p))
+        assert back.shape == arr.shape and info.transform == TRANSFORM
+        assert np.abs(back.astype(np.int16) - arr.astype(np.int16)).mean() < 6
+        # PIL (libjpeg) reads the same file: YCbCr photometric honored
+        pil = np.asarray(Image.open(str(p)).convert("RGB")).transpose(2, 0, 1)
+        assert np.abs(pil.astype(np.int16) - back.astype(np.int16)).max() <= 8
+        assert p.stat().st_size < arr.nbytes / 2
+
+    def test_lossy_gray_tiles(self, tmp_path, rng):
+        from PIL import Image
+
+        yy, xx = np.mgrid[0:130, 0:170]
+        arr = np.clip((yy * 2 + xx) % 240 + rng.normal(0, 8, (130, 170)),
+                      0, 255).astype(np.uint8)
+        p = tmp_path / "jt.tif"
+        tiff.write(str(p), arr, compress="jpeg", quality=95, tile=(64, 64))
+        back, _ = tiff.read(str(p))
+        assert np.abs(back[0].astype(np.int16) - arr.astype(np.int16)).mean() < 3
+        pil = np.asarray(Image.open(str(p)).convert("L"))
+        assert np.abs(pil.astype(np.int16) - back[0].astype(np.int16)).max() <= 2
+
+    @pytest.mark.parametrize("dtype,bands", [(np.uint8, 3), (np.uint16, 4),
+                                             (np.uint16, 1)])
+    def test_lossless_bit_exact(self, tmp_path, rng, dtype, bands):
+        hi = np.iinfo(dtype).max
+        arr = rng.integers(0, hi, (bands, 90, 75)).astype(dtype)
+        p = tmp_path / "jl.tif"
+        tiff.write(str(p), arr, compress="jpeg-lossless", rows_per_strip=33)
+        back, info = tiff.read(str(p))
+        np.testing.assert_array_equal(back, arr)
+        assert info.dtype == dtype
+
+    def test_lossless_tiled_bit_exact(self, tmp_path, rng):
+        arr = rng.integers(0, 65535, (2, 100, 100)).astype(np.uint16)
+        p = tmp_path / "jlt.tif"
+        tiff.write(str(p), arr, compress="jpeg-lossless", tile=(64, 64))
+        back, _ = tiff.read(str(p))
+        np.testing.assert_array_equal(back, arr)
+
+    def test_stream_writer_jpeg_matches_whole_write(self, tmp_path, rng):
+        yy, xx = np.mgrid[0:120, 0:80]
+        arr = np.clip(np.stack([yy % 250, xx % 230, (yy * xx) % 210])
+                      + rng.normal(0, 6, (3, 120, 80)), 0, 255).astype(np.uint8)
+        pw = tmp_path / "whole.tif"
+        tiff.write(str(pw), arr, compress="jpeg", quality=90,
+                   rows_per_strip=40)
+        ps = tmp_path / "stream.tif"
+        w = tiff.StripStreamWriter(str(ps), 120, 80, 3, np.uint8,
+                                   transform=TRANSFORM, compress="jpeg",
+                                   rows_per_strip=40, quality=90)
+        for r0 in range(0, 120, 30):
+            w.append_rows(arr[:, r0:r0 + 30])
+        w.close()
+        a, _ = tiff.read(str(pw))
+        b, info = tiff.read(str(ps))
+        np.testing.assert_array_equal(a, b)
+        assert info.transform == TRANSFORM
+
+    def test_stream_writer_lossless_bit_exact(self, tmp_path, rng):
+        arr = rng.integers(0, 60000, (2, 70, 55)).astype(np.uint16)
+        ps = tmp_path / "sl.tif"
+        w = tiff.StripStreamWriter(str(ps), 70, 55, 2, np.uint16,
+                                   compress="jpeg-lossless",
+                                   rows_per_strip=16)
+        w.append_rows(arr)
+        w.close()
+        back, _ = tiff.read(str(ps))
+        np.testing.assert_array_equal(back, arr)
+
+    def test_input_validation(self, tmp_path):
+        f32 = np.zeros((1, 16, 16), np.float32)
+        u8_4 = np.zeros((4, 16, 16), np.uint8)
+        with pytest.raises(ValueError, match="uint8"):
+            tiff.write(str(tmp_path / "x.tif"), f32, compress="jpeg")
+        with pytest.raises(ValueError, match="1 or 3 bands"):
+            tiff.write(str(tmp_path / "x.tif"), u8_4, compress="jpeg")
+        with pytest.raises(ValueError, match="predictor"):
+            tiff.write(str(tmp_path / "x.tif"), u8_4[:3], compress="jpeg",
+                       predictor=True)
+        with pytest.raises(ValueError, match="uint8 or uint16"):
+            tiff.write(str(tmp_path / "x.tif"), f32,
+                       compress="jpeg-lossless")
+        with pytest.raises(ValueError, match="uint8"):
+            tiff.StripStreamWriter(str(tmp_path / "x.tif"), 8, 8, 1,
+                                   np.float32, compress="jpeg")

@@ -12,6 +12,10 @@ spectral selection + successive approximation (the scan scripts libjpeg's
 the point transform — the mode legacy aerial/satellite products used for
 >8-bit imagery; :func:`encode_lossless` writes conforming streams so the
 round trip is testable bit-exactly without PIL (which decodes neither).
+:func:`encode_baseline` is the write side of the lossy path — SOF0 with
+per-image optimized Huffman tables (T.81 K.2) and 4:4:4/4:2:2/4:2:0
+chroma siting — feeding ``tiff.write(compress="jpeg")``'s GDAL
+``COMPRESS=JPEG`` orthophoto layout.
 Arithmetic-coded scans (SOF9 sequential + SOF10 progressive, T.81 Annex
 D QM-coder) decode through :mod:`.jpeg_arith`, pinned bit-exactly against
 libjpeg's coder at the coefficient level; only the hierarchical modes and
@@ -763,6 +767,291 @@ def encode_lossless(img: np.ndarray, precision: Optional[int] = None,
                 count += 1
     wtr.marker(0xD9)  # EOI (align pads with 1-bits)
     return bytes(wtr.out)
+
+
+# --- baseline (DCT + Huffman) encoder ----------------------------------------
+
+# T.81 Annex K.1 example quantization tables (public spec constants),
+# natural row-major order; scaled by the IJG quality curve in _quant_table.
+K1_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], np.float64)
+K1_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], np.float64)
+
+
+def _quant_table(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality 1-100 → scaled K.1 table, clamped to 8-bit entries."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 / quality if quality < 50 else 200 - 2 * quality
+    return np.clip(np.floor((base * scale + 50) / 100), 1, 255)
+
+
+def _rgb_to_ycbcr(planes: np.ndarray) -> np.ndarray:
+    """(H, W, 3) float64 RGB → clipped, rounded JFIF YCbCr (the inverse
+    of :func:`decode`'s auto color transform)."""
+    r, g, b = planes[..., 0], planes[..., 1], planes[..., 2]
+    out = np.stack([
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0,
+        0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0,
+    ], axis=-1)
+    return np.clip(np.rint(out), 0, 255)
+
+
+def _gen_optimal_table(freq: np.ndarray) -> Tuple[List[int], bytes]:
+    """Optimal 16-bit-limited Huffman table from symbol counts (T.81
+    Annex K.2, the procedure behind cjpeg's -optimize).
+
+    Returns ``(BITS, HUFFVAL)``: 16 per-length code counts plus symbols
+    in code order. An internal reserved symbol (256, count 1) keeps the
+    all-ones codepoint unassigned, as the spec requires.
+    """
+    freq = np.concatenate([freq.astype(np.int64), [1]])
+    n = freq.size
+    codesize = np.zeros(n, np.int64)
+    others = np.full(n, -1, np.int64)
+    while True:
+        nz = np.flatnonzero(freq > 0)
+        if nz.size < 2:
+            break
+        order = nz[np.argsort(freq[nz], kind="stable")]
+        c1, c2 = sorted((int(order[0]), int(order[1])))
+        freq[c1] += freq[c2]
+        freq[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = int(others[c1])
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = int(others[c2])
+            codesize[c2] += 1
+    maxlen = int(codesize.max())
+    bits = [0] * (maxlen + 2)
+    for cs in codesize[codesize > 0]:
+        bits[int(cs)] += 1
+    # K.2 length limiting: convert pairs of overlong codes into one
+    # shorter prefix + two children one level up, down to 16 bits
+    for ln in range(maxlen, 16, -1):
+        while bits[ln]:
+            j = ln - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[ln] -= 2
+            bits[ln - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+    ln = min(maxlen, 16)
+    while bits[ln] == 0:  # the reserved symbol owns the longest code slot
+        ln -= 1
+    bits[ln] -= 1
+    ordered = sorted((int(codesize[s]), s) for s in range(n - 1) if codesize[s])
+    return (bits + [0] * 17)[1:17], bytes(s for _, s in ordered)
+
+
+def _canonical_codes(counts: List[int],
+                     symbols: bytes) -> Dict[int, Tuple[int, int]]:
+    """(BITS, HUFFVAL) → symbol → (length, code); the exact inverse of
+    :class:`_HuffTable`'s canonical walk."""
+    codes: Dict[int, Tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            codes[symbols[k]] = (length, code)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def encode_baseline(img: np.ndarray, quality: int = 90,
+                    restart_interval: int = 0,
+                    subsampling: str = "4:4:4") -> bytes:
+    """Encode (H, W[, C]) uint8 samples as a baseline JPEG (SOF0) with
+    per-image optimized Huffman tables, one interleaved scan.
+
+    The write-side twin of :func:`decode`'s baseline path — the encoder
+    GDAL's ``COMPRESS=JPEG`` orthophoto products come from
+    (/root/reference/utils.py:39-48 reads them via libgdal/libjpeg).
+    3-channel input converts to JFIF YCbCr; ``subsampling`` sites the
+    chroma grids: ``"4:4:4"`` exact, ``"4:2:2"`` (H2V1) or ``"4:2:0"``
+    (H2V2) box-averaged, matching the layouts libjpeg emits and the
+    fancy upsamplers :func:`_fancy_h2`/:func:`_fancy_h2v2` invert. Other
+    channel counts encode as raw 4:4:4 planes. Huffman tables are
+    derived per image (T.81 K.2) rather than the fixed K.3 examples —
+    smaller files, and the DHT segment makes the stream self-describing
+    either way.
+    """
+    img = np.asarray(img)
+    if img.ndim == 2:
+        img = img[..., None]
+    if img.dtype != np.uint8:
+        raise ValueError("encode_baseline: 8-bit samples only")
+    if subsampling not in ("4:4:4", "4:2:2", "4:2:0"):
+        raise ValueError(f"Unsupported subsampling {subsampling!r}; "
+                         "options: 4:4:4, 4:2:2, 4:2:0")
+    h, w, nc = img.shape
+    if subsampling != "4:4:4" and nc != 3:
+        raise ValueError("Chroma subsampling requires 3-channel input")
+    planes = img.astype(np.float64)
+    if nc == 3:
+        planes = _rgb_to_ycbcr(planes)
+
+    hs, vs = {"4:4:4": (1, 1), "4:2:2": (2, 1), "4:2:0": (2, 2)}[subsampling]
+    samp = [(hs, vs)] + [(1, 1)] * (nc - 1)
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+
+    qts = [_quant_table(K1_LUMA, quality)]
+    if nc > 1:
+        qts.append(_quant_table(K1_CHROMA, quality))
+
+    coefs: List[np.ndarray] = []
+    for ci in range(nc):
+        hi, vi = samp[ci]
+        p = planes[..., ci]
+        fy, fx = vmax // vi, hmax // hi
+        if (fy, fx) != (1, 1):  # box-average chroma downsample
+            ph, pw = -(-h // fy) * fy, -(-w // fx) * fx
+            p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+            p = p.reshape(ph // fy, fy, pw // fx, fx).mean(axis=(1, 3))
+        th, tw = mcuy * 8 * vi, mcux * 8 * hi
+        p = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                   mode="edge") - 128.0
+        blocks = p.reshape(th // 8, 8, tw // 8, 8).transpose(0, 2, 1, 3)
+        f = np.einsum("ui,YXij,vj->YXuv", _A, blocks, _A, optimize=True)
+        q = qts[min(ci, len(qts) - 1)].reshape(8, 8)
+        nat = (np.rint(f / q[None, None]).astype(np.int32)
+               .reshape(th // 8, tw // 8, 64))
+        coefs.append(nat[..., ZIGZAG])
+
+    def walk(emit_dc, emit_ac, on_restart) -> None:
+        last_dc = [0] * nc
+        count = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                if (restart_interval and count
+                        and count % restart_interval == 0):
+                    on_restart()
+                    last_dc = [0] * nc
+                for ci in range(nc):
+                    hi, vi = samp[ci]
+                    t = 0 if ci == 0 else 1
+                    for by in range(vi):
+                        for bx in range(hi):
+                            zz = coefs[ci][my * vi + by, mx * hi + bx]
+                            dc = int(zz[0])
+                            emit_dc(t, dc - last_dc[ci])
+                            last_dc[ci] = dc
+                            emit_ac(t, zz)
+                count += 1
+
+    def cat(v: int) -> int:
+        return int(abs(v)).bit_length()
+
+    # pass 1: symbol frequencies for the optimal tables
+    n_tbl = 2 if nc > 1 else 1
+    dc_freq = np.zeros((n_tbl, 256), np.int64)
+    ac_freq = np.zeros((n_tbl, 256), np.int64)
+
+    def count_ac(t: int, zz: np.ndarray) -> None:
+        prev = 0
+        for k in np.flatnonzero(zz[1:]) + 1:
+            run = int(k) - prev - 1
+            while run > 15:
+                ac_freq[t, 0xF0] += 1
+                run -= 16
+            ac_freq[t, (run << 4) | cat(int(zz[k]))] += 1
+            prev = int(k)
+        if prev != 63:
+            ac_freq[t, 0x00] += 1
+
+    walk(lambda t, d: dc_freq.__setitem__((t, cat(d)),
+                                          dc_freq[t, cat(d)] + 1),
+         count_ac, lambda: None)
+
+    dc_tbl = {t: _gen_optimal_table(dc_freq[t]) for t in range(n_tbl)}
+    ac_tbl = {t: _gen_optimal_table(ac_freq[t]) for t in range(n_tbl)}
+    dc_codes = {t: _canonical_codes(*dc_tbl[t]) for t in dc_tbl}
+    ac_codes = {t: _canonical_codes(*ac_tbl[t]) for t in ac_tbl}
+
+    # pass 2: entropy-coded segment
+    wtr = _BitWriter()
+    rstn = [0]
+
+    def emit_dc(t: int, diff: int) -> None:
+        s = cat(diff)
+        ln, code = dc_codes[t][s]
+        wtr.bits(code, ln)
+        if s:
+            wtr.bits(diff if diff > 0 else diff + (1 << s) - 1, s)
+
+    def emit_ac(t: int, zz: np.ndarray) -> None:
+        codes = ac_codes[t]
+        prev = 0
+        for k in np.flatnonzero(zz[1:]) + 1:
+            run = int(k) - prev - 1
+            while run > 15:
+                ln, code = codes[0xF0]
+                wtr.bits(code, ln)
+                run -= 16
+            v = int(zz[k])
+            s = cat(v)
+            ln, code = codes[(run << 4) | s]
+            wtr.bits(code, ln)
+            wtr.bits(v if v > 0 else v + (1 << s) - 1, s)
+            prev = int(k)
+        if prev != 63:
+            ln, code = codes[0x00]
+            wtr.bits(code, ln)
+
+    def on_restart() -> None:
+        wtr.marker(0xD0 + rstn[0])
+        rstn[0] = (rstn[0] + 1) & 7
+
+    walk(emit_dc, emit_ac, on_restart)
+    wtr.align()
+
+    out = bytearray(b"\xff\xd8")
+    for tq, q in enumerate(qts):
+        zzq = q.reshape(64)[ZIGZAG].astype(np.uint8)
+        out += struct.pack(">HHB", 0xFFDB, 67, tq) + zzq.tobytes()
+    out += struct.pack(">HHBHHB", 0xFFC0, 8 + 3 * nc, 8, h, w, nc)
+    for ci in range(nc):
+        hi, vi = samp[ci]
+        out += bytes([ci + 1, (hi << 4) | vi, min(ci, len(qts) - 1)])
+    for cls, tbls in ((0x00, dc_tbl), (0x10, ac_tbl)):
+        for t in sorted(tbls):
+            bits, vals = tbls[t]
+            out += struct.pack(">HH", 0xFFC4, 2 + 17 + len(vals))
+            out += bytes([cls | t]) + bytes(bits) + vals
+    if restart_interval:
+        out += struct.pack(">HHH", 0xFFDD, 4, restart_interval)
+    out += struct.pack(">HHB", 0xFFDA, 6 + 2 * nc, nc)
+    for ci in range(nc):
+        t = 0 if ci == 0 else 1
+        out += bytes([ci + 1, (t << 4) | t])
+    out += bytes([0, 63, 0])
+    out += wtr.out
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def _idct_plane(coefs: np.ndarray, q: np.ndarray) -> np.ndarray:

@@ -635,34 +635,6 @@ def encode_scan(coefs: List[np.ndarray], comps: List[dict], geom,
     return bytes(out)
 
 
-# Annex K.1 base quantization tables (public spec constants), zigzag order
-# applied later; stored in natural row-major order here.
-_K1_LUMA = np.array([
-    16, 11, 10, 16, 24, 40, 51, 61,
-    12, 12, 14, 19, 26, 58, 60, 55,
-    14, 13, 16, 24, 40, 57, 69, 56,
-    14, 17, 22, 29, 51, 87, 80, 62,
-    18, 22, 37, 56, 68, 109, 103, 77,
-    24, 35, 55, 64, 81, 104, 113, 92,
-    49, 64, 78, 87, 103, 121, 120, 101,
-    72, 92, 95, 98, 112, 100, 103, 99], np.float64)
-_K1_CHROMA = np.array([
-    17, 18, 24, 47, 99, 99, 99, 99,
-    18, 21, 26, 66, 99, 99, 99, 99,
-    24, 26, 56, 99, 99, 99, 99, 99,
-    47, 66, 99, 99, 99, 99, 99, 99,
-    99, 99, 99, 99, 99, 99, 99, 99,
-    99, 99, 99, 99, 99, 99, 99, 99,
-    99, 99, 99, 99, 99, 99, 99, 99,
-    99, 99, 99, 99, 99, 99, 99, 99], np.float64)
-
-
-def _quant_table(base: np.ndarray, quality: int) -> np.ndarray:
-    quality = min(max(int(quality), 1), 100)
-    scale = 5000 / quality if quality < 50 else 200 - 2 * quality
-    return np.clip(np.floor((base * scale + 50) / 100), 1, 255)
-
-
 def encode_arithmetic(img: np.ndarray, quality: int = 90,
                       restart_interval: int = 0,
                       dc_cond: Tuple[int, int] = (0, 1),
@@ -675,7 +647,10 @@ def encode_arithmetic(img: np.ndarray, quality: int = 90,
     planes. Emits an explicit DAC segment so non-default conditioning
     bounds round-trip through the parser.
     """
-    from .jpeg import ZIGZAG, _A  # IDCT basis: orthonormal, FDCT = A·x·Aᵀ
+    # IDCT basis (orthonormal, FDCT = A·x·Aᵀ) + shared quantization /
+    # color helpers live with the baseline codec
+    from .jpeg import K1_CHROMA, K1_LUMA, ZIGZAG, _A, _quant_table, \
+        _rgb_to_ycbcr
 
     img = np.asarray(img)
     if img.ndim == 2:
@@ -685,16 +660,10 @@ def encode_arithmetic(img: np.ndarray, quality: int = 90,
     h, w, nc = img.shape
     planes = img.astype(np.float64)
     if nc == 3:
-        r, g, b = planes[..., 0], planes[..., 1], planes[..., 2]
-        planes = np.stack([
-            0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168735892 * r - 0.331264108 * g + 0.5 * b + 128.0,
-            0.5 * r - 0.418687589 * g - 0.081312411 * b + 128.0,
-        ], axis=-1)
-        planes = np.clip(np.rint(planes), 0, 255)
+        planes = _rgb_to_ycbcr(planes)
 
-    qluma = _quant_table(_K1_LUMA, quality)
-    qchroma = _quant_table(_K1_CHROMA, quality)
+    qluma = _quant_table(K1_LUMA, quality)
+    qchroma = _quant_table(K1_CHROMA, quality)
     qts = [qluma] + ([qchroma] if nc > 1 else [])
 
     bh, bw = -(-h // 8), -(-w // 8)

@@ -17,10 +17,14 @@ imagery needs:
 * GeoTIFF georeferencing: ModelPixelScaleTag + ModelTiepointTag (33550/33922)
   or ModelTransformationTag (34264), GeoKeyDirectory (34735) with EPSG codes,
   GeoAsciiParams (34737), GDAL_NODATA (42113)
-* new-style JPEG (compression 7, baseline sequential + progressive,
-  JPEGTables tag) via the dependency-free decoder in ``geo/jpeg.py``;
-  arithmetic-coded JPEG and unknown codecs fall back to PIL when
-  available, otherwise the error names the unsupported feature
+* new-style JPEG (compression 7): **reads** baseline sequential,
+  progressive, lossless (SOF3) and arithmetic-coded (SOF9/SOF10)
+  streams via the dependency-free codecs in ``geo/jpeg.py`` /
+  ``geo/jpeg_arith.py`` (JPEGTables tag honored); **writes** GDAL's
+  ``COMPRESS=JPEG`` orthophoto layout (``compress="jpeg"``, YCbCr
+  photometric 6) and bit-exact Annex-H lossless
+  (``compress="jpeg-lossless"``, uint8/uint16); unknown codecs fall
+  back to PIL when available, otherwise the error names the feature
 
 Geotransforms use the GDAL 6-tuple convention
 ``(ulx, xres, xrot, uly, yrot, yres)`` so tiling / mosaic math matches the
@@ -53,6 +57,7 @@ TAG_TILE_LENGTH = 323
 TAG_TILE_OFFSETS = 324
 TAG_TILE_BYTE_COUNTS = 325
 TAG_EXTRA_SAMPLES = 338
+TAG_YCBCR_SUBSAMPLING = 530
 TAG_SAMPLE_FORMAT = 339
 TAG_MODEL_PIXEL_SCALE = 33550
 TAG_MODEL_TIEPOINT = 33922
@@ -700,7 +705,7 @@ def _common_entries(
     dtype: np.dtype, c: int, h: int, w: int, comp_code: int,
     use_pred2: bool, use_pred3: bool,
     transform: Optional[GeoTransform], crs: Optional[str],
-    nodata: Optional[float],
+    nodata: Optional[float], photometric: int = 1,
 ) -> List[Tuple[int, int, Sequence]]:
     """The segment-independent IFD entries shared by ``write`` and
     ``StripStreamWriter`` (format, geo tags, nodata)."""
@@ -709,13 +714,16 @@ def _common_entries(
     entries.append((TAG_IMAGE_LENGTH, TYPE_LONG, [h]))
     entries.append((TAG_BITS_PER_SAMPLE, TYPE_SHORT, [dtype.itemsize * 8] * c))
     entries.append((TAG_COMPRESSION, TYPE_SHORT, [comp_code]))
-    entries.append((TAG_PHOTOMETRIC, TYPE_SHORT, [1]))
+    entries.append((TAG_PHOTOMETRIC, TYPE_SHORT, [photometric]))
+    if photometric == 6:  # YCbCr-in-JPEG: chroma grids are unsubsampled
+        entries.append((TAG_YCBCR_SUBSAMPLING, TYPE_SHORT, [1, 1]))
     entries.append((TAG_SAMPLES_PER_PIXEL, TYPE_SHORT, [c]))
     entries.append((TAG_PLANAR_CONFIG, TYPE_SHORT, [1]))
     if use_pred2 or use_pred3:
         entries.append((TAG_PREDICTOR, TYPE_SHORT, [2 if use_pred2 else 3]))
-    if c > 1:
-        entries.append((TAG_EXTRA_SAMPLES, TYPE_SHORT, [0] * (c - 1)))
+    n_color = 3 if photometric in (2, 6) else 1  # samples the model implies
+    if c > n_color:
+        entries.append((TAG_EXTRA_SAMPLES, TYPE_SHORT, [0] * (c - n_color)))
     entries.append((TAG_SAMPLE_FORMAT, TYPE_SHORT, [_DTYPE_TO_SF[dtype]] * c))
 
     if transform is not None:
@@ -811,6 +819,7 @@ def write(
     tile: Optional[Tuple[int, int]] = None,
     bigtiff: bool = False,
     byteorder: str = "<",
+    quality: int = 90,
 ) -> None:
     """Write a ``(C, H, W)`` or ``(H, W)`` array as a (Geo)TIFF.
 
@@ -820,7 +829,16 @@ def write(
     text), per-band nodata via ``nodata``. Beyond GDAL parity: ``tile``
     writes tile-organized files, ``bigtiff`` selects the 8-byte-offset
     container, ``byteorder`` ``"<"``/``">"``, ``compress`` in
-    none/deflate/lzw/packbits.
+    none/deflate/lzw/packbits/jpeg/jpeg-lossless.
+
+    ``compress="jpeg"`` is GDAL's ``COMPRESS=JPEG`` orthophoto layout:
+    new-style JPEG (compression 7) strips/tiles at the given ``quality``,
+    uint8 only, 1 or 3 bands (3-band data is written as photometric-6
+    YCbCr, unsubsampled so any strip height stays conformant).
+    ``compress="jpeg-lossless"`` writes bit-exact T.81 Annex-H (SOF3)
+    segments — the legacy >8-bit aerial layout — for 1-4 band
+    uint8/uint16 data. Both are self-contained per segment (no
+    JPEGTables), which every libtiff/GDAL reader accepts.
     """
     arr = np.asarray(array)
     if arr.ndim == 2:
@@ -835,12 +853,34 @@ def write(
         raise ValueError(f"Unsupported dtype for TIFF write: {arr.dtype}")
     if byteorder not in ("<", ">"):
         raise ValueError(f"byteorder must be '<' or '>', got {byteorder!r}")
-    if compress not in _WRITE_COMPRESSORS:
-        raise ValueError(
-            f"Unsupported compression {compress!r}; options: deflate, lzw, packbits"
-        )
-    comp_code, compress_fn = _WRITE_COMPRESSORS[compress]
     c, h, w = arr.shape
+    jpeg_mode = compress if compress in ("jpeg", "jpeg-lossless") else None
+    photometric = 1
+    if jpeg_mode:
+        if predictor:
+            raise ValueError("predictor does not apply to JPEG compression")
+        if jpeg_mode == "jpeg":
+            if arr.dtype != np.uint8:
+                raise ValueError("compress='jpeg' requires uint8 data")
+            if c not in (1, 3):
+                raise ValueError("compress='jpeg' requires 1 or 3 bands, "
+                                 f"got {c}")
+            photometric = 6 if c == 3 else 1
+        else:
+            if arr.dtype not in (np.dtype(np.uint8), np.dtype(np.uint16)):
+                raise ValueError("compress='jpeg-lossless' requires uint8 "
+                                 "or uint16 data")
+            if not 1 <= c <= 4:
+                raise ValueError("compress='jpeg-lossless' requires 1-4 "
+                                 f"bands, got {c}")
+        comp_code = COMP_JPEG
+    elif compress not in _WRITE_COMPRESSORS:
+        raise ValueError(
+            f"Unsupported compression {compress!r}; options: deflate, lzw, "
+            "packbits, jpeg, jpeg-lossless"
+        )
+    else:
+        comp_code, compress_fn = _WRITE_COMPRESSORS[compress]
     hwc = np.ascontiguousarray(np.moveaxis(arr, 0, 2)).astype(
         arr.dtype.newbyteorder(byteorder))
 
@@ -848,6 +888,15 @@ def write(
     use_pred3 = predictor and arr.dtype.kind == "f"
 
     def encode_segment(seg: np.ndarray) -> bytes:
+        if jpeg_mode:
+            from . import jpeg as jpeg_codec
+
+            pix = seg.astype(seg.dtype.newbyteorder("="))
+            if jpeg_mode == "jpeg":
+                return jpeg_codec.encode_baseline(pix, quality=quality)
+            # predictor 7 ((Ra+Rb)/2): best average ratio on smooth
+            # aerial content among the seven Annex-H predictors
+            return jpeg_codec.encode_lossless(pix, predictor=7)
         if use_pred2:
             seg = _apply_predictor(seg)
             payload = seg.tobytes()
@@ -887,7 +936,8 @@ def write(
         off_tag, cnt_tag = TAG_STRIP_OFFSETS, TAG_STRIP_BYTE_COUNTS
 
     entries.extend(_common_entries(arr.dtype, c, h, w, comp_code,
-                                   use_pred2, use_pred3, transform, crs, nodata))
+                                   use_pred2, use_pred3, transform, crs,
+                                   nodata, photometric=photometric))
 
     seg_counts = [len(p) for p in segments]
     if not bigtiff and sum(seg_counts) + 4096 + 16 * len(segments) > 0xFFFFFFFF:
@@ -1159,15 +1209,33 @@ class StripStreamWriter:
                  crs: Optional[str] = None, nodata: Optional[float] = None,
                  compress: Optional[str] = None,
                  rows_per_strip: Optional[int] = None,
-                 bigtiff: bool = False):
+                 bigtiff: bool = False, quality: int = 90):
         self.h, self.w, self.c = int(height), int(width), int(bands)
         self.dtype = np.dtype(dtype)
         if self.dtype not in _DTYPE_TO_SF:
             raise ValueError(f"Unsupported dtype for TIFF write: {self.dtype}")
-        if compress not in _WRITE_COMPRESSORS:
+        self._jpeg_mode = compress if compress in ("jpeg",
+                                                   "jpeg-lossless") else None
+        self._quality = quality
+        self.photometric = 1
+        if self._jpeg_mode == "jpeg":
+            if self.dtype != np.uint8 or self.c not in (1, 3):
+                raise ValueError("compress='jpeg' streams require uint8 "
+                                 "data with 1 or 3 bands")
+            self.photometric = 6 if self.c == 3 else 1
+            self.comp_code, self._compress_fn = COMP_JPEG, None
+        elif self._jpeg_mode == "jpeg-lossless":
+            if (self.dtype not in (np.dtype(np.uint8), np.dtype(np.uint16))
+                    or not 1 <= self.c <= 4):
+                raise ValueError("compress='jpeg-lossless' streams require "
+                                 "1-4 bands of uint8/uint16 data")
+            self.comp_code, self._compress_fn = COMP_JPEG, None
+        elif compress not in _WRITE_COMPRESSORS:
             raise ValueError(
-                f"Unsupported compression {compress!r}; options: deflate, lzw, packbits")
-        self.comp_code, self._compress_fn = _WRITE_COMPRESSORS[compress]
+                f"Unsupported compression {compress!r}; options: deflate, "
+                "lzw, packbits, jpeg, jpeg-lossless")
+        else:
+            self.comp_code, self._compress_fn = _WRITE_COMPRESSORS[compress]
         self.transform, self.crs, self.nodata = transform, crs, nodata
         # ``bigtiff=True`` forces the 8-byte-offset container; with the
         # default False the container is chosen at close(), when the actual
@@ -1206,7 +1274,16 @@ class StripStreamWriter:
                 flush_full and self._pending.shape[0] > 0):
             seg = self._pending[: self.rps]
             self._pending = self._pending[self.rps:]
-            payload = self._compress_fn(np.ascontiguousarray(seg).tobytes())
+            if self._jpeg_mode:
+                from . import jpeg as jpeg_codec
+
+                pix = np.ascontiguousarray(seg)
+                payload = (jpeg_codec.encode_baseline(pix, self._quality)
+                           if self._jpeg_mode == "jpeg"
+                           else jpeg_codec.encode_lossless(pix, predictor=7))
+            else:
+                payload = self._compress_fn(
+                    np.ascontiguousarray(seg).tobytes())
             self._offsets.append(self._f.tell())
             self._counts.append(len(payload))
             self._f.write(payload)
@@ -1224,7 +1301,8 @@ class StripStreamWriter:
         self.bigtiff = bigtiff
         entries = _common_entries(self.dtype, self.c, self.h, self.w,
                                   self.comp_code, False, False,
-                                  self.transform, self.crs, self.nodata)
+                                  self.transform, self.crs, self.nodata,
+                                  photometric=self.photometric)
         entries.append((TAG_ROWS_PER_STRIP, TYPE_LONG, [self.rps]))
         offset_type = TYPE_LONG8 if bigtiff else TYPE_LONG
         entries.append((TAG_STRIP_BYTE_COUNTS, offset_type, self._counts))
