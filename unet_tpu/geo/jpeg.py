@@ -1075,7 +1075,26 @@ def decode(data: bytes, tables: Optional[bytes] = None,
     ``color_transform``: YCbCr→RGB for 3-component images. None = auto
     (convert unless component ids spell 'R','G','B'); TIFF callers pass
     the PhotometricInterpretation verdict (6=YCbCr → True, 2=RGB → False).
+
+    Every malformed input raises ValueError: semantic checks where the
+    corruption is diagnosable, plus a top-level trap normalizing the
+    low-level failures truncated/garbled fields produce (IndexError /
+    struct.error / Overflow on absurd shifts) — the same contract
+    libjpeg implements with its error-manager longjmp. Fuzz-pinned in
+    tests/test_fuzz_parsers.py.
     """
+    try:
+        return _decode_impl(data, tables, color_transform)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, OverflowError, MemoryError, TypeError,
+            struct.error) as e:
+        raise ValueError(
+            f"Corrupt JPEG stream: {type(e).__name__}: {e}") from e
+
+
+def _decode_impl(data: bytes, tables: Optional[bytes],
+                 color_transform: Optional[bool]) -> np.ndarray:
     state = _State()
     if tables:
         if tables[:2] != b"\xff\xd8":

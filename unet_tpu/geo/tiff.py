@@ -526,7 +526,12 @@ def _decompress(chunk: bytes, compression: int, expected: Optional[int] = None) 
     if compression == COMP_NONE:
         return chunk
     if compression in (COMP_DEFLATE, COMP_DEFLATE_LEGACY):
-        return zlib.decompress(chunk)
+        try:
+            if expected is not None:  # cap output: no decompression bombs
+                return zlib.decompressobj().decompress(chunk, expected)
+            return zlib.decompress(chunk)
+        except zlib.error as e:
+            raise ValueError(f"Corrupt TIFF: bad deflate stream ({e})") from e
     if compression == COMP_LZW:
         nat = _native_codecs() if expected else None
         if nat is not None:
@@ -574,11 +579,27 @@ def read(path: str) -> Tuple[np.ndarray, TiffInfo]:
     Mirrors rasterio's ``open(path).read()`` layout used throughout the
     reference (create_tiles_unet.py:282, data.py:20). Handles strip- and
     tile-organized files, classic and BigTIFF, both byte orders, and
-    none/deflate/LZW/PackBits compression — the formats real aerial
+    none/deflate/LZW/PackBits/JPEG compression — the formats real aerial
     orthophotos come in.
+
+    Malformed files raise ValueError — never IndexError/struct.error/
+    MemoryError: semantic checks (segment bounds vs file size, dimension
+    plausibility vs codec expansion limits) plus a top-level trap, the
+    contract libgdal/libtiff meet. Fuzz-pinned in
+    tests/test_fuzz_parsers.py.
     """
     with open(path, "rb") as f:
         data = f.read()
+    try:
+        return _read_impl(data, path)
+    except ValueError:
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError,
+            MemoryError, TypeError) as e:
+        raise ValueError(f"Corrupt TIFF: {type(e).__name__}: {e}") from e
+
+
+def _read_impl(data: bytes, path: str) -> Tuple[np.ndarray, TiffInfo]:
     info = _parse_info(data)
     tags = info.tags
     bo = tags["_byteorder"]
@@ -590,16 +611,32 @@ def read(path: str) -> Tuple[np.ndarray, TiffInfo]:
     dt = info.dtype.newbyteorder(bo)
     native = info.dtype.newbyteorder("=")
 
+    # a corrupted IFD can declare dimensions whose decode allocation is
+    # astronomically larger than any codec could expand this file to
+    # (deflate's hard ceiling is 1032:1; LZW/PackBits/JPEG are lower)
+    decoded = int(h) * int(w) * int(c) * dt.itemsize
+    if decoded > max(16 << 20, 4096 * len(data)):
+        raise ValueError(
+            f"Corrupt TIFF: implausible dimensions {c}x{h}x{w} "
+            f"({decoded} decoded bytes from a {len(data)}-byte file)")
+
     try:
         if TAG_TILE_OFFSETS in tags:
             chw = _read_tiled(data, tags, info, compression, predictor, dt, planar)
         else:
             chw = _read_striped(data, tags, info, compression, predictor, dt, planar)
     except ValueError as e:
-        # baseline + progressive JPEG decode in-repo (geo/jpeg.py);
-        # arithmetic JPEG and unknown codecs fall back to PIL if importable
-        if "Unsupported TIFF compression" in str(e) or "JPEG" in str(e):
-            return _pil_fallback_read(path, info, str(e)), info
+        # unknown codecs / JPEG features beyond the in-repo decoders fall
+        # back to PIL if importable; data CORRUPTION errors don't (they
+        # would just fail again, less clearly)
+        if str(e).startswith("Unsupported"):
+            try:
+                return _pil_fallback_read(path, info, str(e)), info
+            except ValueError:
+                raise
+            except Exception as pe:  # PIL's own OSError zoo on bad data
+                raise ValueError(
+                    f"{e} (PIL fallback also failed: {pe})") from e
         raise
     return np.ascontiguousarray(chw.astype(native, copy=False)), info
 
@@ -646,9 +683,20 @@ def _decode_chunk(chunk: bytes, compression: int, rows: int, width: int,
     return _decode_segment(raw, rows, width, channels, predictor, dt)
 
 
+def _check_segments(offsets, counts, file_size: int) -> None:
+    """Every strip/tile byte range must lie inside the file — corrupt
+    offset/count fields otherwise turn into absurd slices downstream."""
+    for o, c in zip(offsets, counts):
+        if o < 0 or c < 0 or o + c > file_size:
+            raise ValueError(
+                f"Corrupt TIFF: segment [{o}, {o}+{c}) extends past the "
+                f"{file_size}-byte end of file")
+
+
 def _read_striped(data, tags, info, compression, predictor, dt, planar) -> np.ndarray:
     offsets = _as_list(tags[TAG_STRIP_OFFSETS])
     counts = _as_list(tags[TAG_STRIP_BYTE_COUNTS])
+    _check_segments(offsets, counts, len(data))
     h, w, c = info.height, info.width, info.bands
     rps = int(tags.get(TAG_ROWS_PER_STRIP, h))
     strips_per_plane = (h + rps - 1) // rps
@@ -673,6 +721,7 @@ def _read_striped(data, tags, info, compression, predictor, dt, planar) -> np.nd
 def _read_tiled(data, tags, info, compression, predictor, dt, planar) -> np.ndarray:
     offsets = _as_list(tags[TAG_TILE_OFFSETS])
     counts = _as_list(tags[TAG_TILE_BYTE_COUNTS])
+    _check_segments(offsets, counts, len(data))
     h, w, c = info.height, info.width, info.bands
     tl = int(tags[TAG_TILE_LENGTH])
     tw = int(tags[TAG_TILE_WIDTH])
