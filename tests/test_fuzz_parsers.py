@@ -143,6 +143,31 @@ class TestTiffFuzz:
     def test_corrupt_tiff_never_crashes(self, name, kw):
         _assert_contract(f"tiff/{name}", _tiff_bytes(**kw), _decode_tiff)
 
+    @pytest.mark.parametrize("name,kw", [
+        ("win-strips-lzw", dict(array=np.moveaxis(RGB, 2, 0),
+                                compress="lzw", rows_per_strip=8)),
+        ("win-tiled", dict(array=U16[None].repeat(2, 0), compress="deflate",
+                           tile=(16, 16))),
+        ("win-jpeg", dict(array=np.moveaxis(RGB, 2, 0), compress="jpeg",
+                          rows_per_strip=16)),
+    ])
+    def test_corrupt_window_read_never_crashes(self, name, kw):
+        # the seek-based streamed path (read_window) is separate plumbing
+        # from read(); it must meet the same contract
+        import os
+        import tempfile
+
+        def decode_window(data):
+            fd, path = tempfile.mkstemp(suffix=".tif")
+            with os.fdopen(fd, "wb") as f:
+                f.write(data)
+            try:
+                tiff.read_window(path, 5, 20, 3, 30)
+            finally:
+                os.unlink(path)
+
+        _assert_contract(f"win/{name}", _tiff_bytes(**kw), decode_window)
+
 
 class TestJpegFuzz:
     @pytest.mark.parametrize("name,data", [

@@ -192,6 +192,8 @@ def lzw_decode(data: bytes) -> bytes:
         if code == 257:  # EndOfInformation
             return bytes(out)
         if prev is None:
+            if code >= len(table):  # first code after clear must be known
+                raise ValueError("Corrupt LZW stream (code beyond table)")
             entry = table[code]
         else:
             if code < len(table):
@@ -1109,6 +1111,19 @@ def read_window(path: str, row0: int, row1: int,
     :func:`evict_decoded_rows` bounds the decoded-segment memory for
     top-down consumers.
     """
+    try:
+        return _read_window_impl(path, row0, row1, col0, col1, _cache)
+    except ValueError:
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError,
+            MemoryError, TypeError) as e:
+        # same malformed-input contract as read(); fuzz-pinned
+        raise ValueError(f"Corrupt TIFF: {type(e).__name__}: {e}") from e
+
+
+def _read_window_impl(path: str, row0: int, row1: int,
+                      col0: int, col1: Optional[int],
+                      _cache: Optional[dict]) -> Tuple[np.ndarray, TiffInfo]:
     cache = _cache if _cache is not None else {}
     if "info" not in cache:
         cache["f"] = _CountingFile(open(path, "rb"))
