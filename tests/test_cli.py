@@ -188,3 +188,63 @@ class TestCLIErrorUX:
         monkeypatch.setenv("UNET_TPU_TRACEBACK", "1")
         with _pytest.raises(FileNotFoundError):
             m.cli(["tile", "/no/such/scene.tif", "--base-dir", "x"])
+
+
+class TestOutputCompression:
+    """--compress ties the geo codec's write side into the product
+    surface (tile outputs + prediction/serve mosaics)."""
+
+    def test_tile_compress_jpeg_img_deflate_mask(self, scene):
+        from unet_tpu.__main__ import cli
+        from unet_tpu.geo import tiff
+
+        root, ip, mp = scene
+        rc = cli(["tile", str(ip), "--mask", str(mp),
+                  "--base-dir", str(root / "cj"), "--patch-size", "50",
+                  "--split", "0.8", "0.2", "--max-empty", "1.0",
+                  "--compress", "jpeg"])
+        assert rc == 0
+        img = next((root / "cj" / "trai" / "img_tiles").glob("*.tif"))
+        msk = (root / "cj" / "trai" / "mask_tiles") / img.name
+        assert int(tiff.read_info(str(img)).tags[259]) == 7  # JPEG
+        assert int(tiff.read_info(str(msk)).tags[259]) == 8  # deflate
+        data, _ = tiff.read(str(msk))  # labels exact
+        assert set(np.unique(data)) <= {0, 1, 2}
+
+    def test_tile_compress_lossless_roundtrip(self, scene):
+        from unet_tpu.__main__ import cli
+        from unet_tpu.geo import tiff, read_raster
+
+        root, ip, mp = scene
+        rc = cli(["tile", str(ip), "--base-dir", str(root / "cl"),
+                  "--patch-size", "50", "--split", "1.0",
+                  "--max-empty", "1.0", "--compress", "jpeg-lossless"])
+        assert rc == 0
+        tiles = sorted((root / "cl" / "img_tiles").glob("*.tif"))
+        assert tiles
+        scene_arr = read_raster(str(ip)).data
+        t0, info = tiff.read(str(tiles[0]))
+        assert int(info.tags[259]) == 7
+        np.testing.assert_array_equal(t0, scene_arr[:, :50, :50])
+
+    def test_compress_none_explicit(self, scene):
+        from unet_tpu.__main__ import cli
+        from unet_tpu.geo import tiff
+
+        root, ip, mp = scene
+        rc = cli(["tile", str(ip), "--base-dir", str(root / "cn"),
+                  "--patch-size", "50", "--split", "1.0",
+                  "--max-empty", "1.0", "--compress", "none"])
+        assert rc == 0
+        t = next((root / "cn" / "img_tiles").glob("*.tif"))
+        assert int(tiff.read_info(str(t)).tags.get(259, 1)) == 1
+
+    def test_parser_exposes_compress_everywhere(self):
+        from unet_tpu.__main__ import build_parser
+
+        p = build_parser()
+        for argv in (["tile", "x", "--base-dir", "b", "--compress", "lzw"],
+                     ["predict", "m", "t", "--compress", "deflate"],
+                     ["serve", "m", "r", "o", "--compress", "jpeg"]):
+            args = p.parse_args(argv)
+            assert args.compress in ("lzw", "deflate", "jpeg")

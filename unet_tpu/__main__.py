@@ -35,6 +35,11 @@ def build_parser() -> argparse.ArgumentParser:
     tile.add_argument("--class-zero", action="store_true")
     tile.add_argument("--seed", type=int, default=None)
     tile.add_argument("--reference-quirks", action="store_true")
+    tile.add_argument("--compress", default=None,
+                      choices=["none", "deflate", "lzw", "packbits", "jpeg", "jpeg-lossless"],
+                      help="tile output compression (img tiles; masks keep "
+                           "exact labels — lossy jpeg maps to deflate for "
+                           "them)")
 
     tr = sub.add_parser("train", help="train a model on a tile dataset")
     tr.add_argument("data_path")
@@ -98,6 +103,10 @@ def build_parser() -> argparse.ArgumentParser:
                     help="4-fold flip test-time augmentation (averaged "
                          "probabilities; 4x forward cost)")
     pr.add_argument("--reference-quirks", action="store_true")
+    pr.add_argument("--compress", default=None,
+                    choices=["none", "deflate", "lzw", "packbits", "jpeg", "jpeg-lossless"],
+                    help="output compression for prediction tiles / the "
+                         "merged mosaic")
 
     sv = sub.add_parser("serve", help="predict whole GeoTIFFs directly (no tile files)")
     sv.add_argument("model")
@@ -119,6 +128,9 @@ def build_parser() -> argparse.ArgumentParser:
     sv.add_argument("--tta", action="store_true",
                     help="4-fold flip test-time augmentation (averaged "
                          "probabilities; 4x forward cost)")
+    sv.add_argument("--compress", default=None,
+                    choices=["none", "deflate", "lzw", "packbits", "jpeg", "jpeg-lossless"],
+                    help="output mosaic compression")
     sv.add_argument("--stream", action="store_true",
                     help="force the O(band)-memory streamed path (windowed "
                          "reads, strip-streamed output); automatic for "
@@ -186,6 +198,12 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
+def _compress_arg(args):
+    """argparse surface uses 'none' for explicit no-compression."""
+    c = getattr(args, "compress", None)
+    return None if c in (None, "none") else c
+
+
 def _artifact_predictor(args):
     """If the model argument is a frozen .uta serving artifact, load it and
     return an ArtifactPredictor for the ``predictor=`` pass-through; None
@@ -227,7 +245,8 @@ def _dispatch(args) -> int:
 
         n = split_raster(args.image, args.mask, args.base_dir, args.patch_size,
                          args.patch_overlap, args.split, args.max_empty, args.class_zero,
-                         seed=args.seed, reference_quirks=args.reference_quirks)
+                         seed=args.seed, reference_quirks=args.reference_quirks,
+                         compress=_compress_arg(args))
         print(f"{n} tiles written to {args.base_dir}")
     elif args.command == "train":
         from .train.loop import TrainerConfig, train_model
@@ -266,7 +285,8 @@ def _dispatch(args) -> int:
                                tta=args.tta,
                                device_merge=args.device_merge,
                                reference_quirks=args.reference_quirks,
-                               predictor=_artifact_predictor(args))
+                               predictor=_artifact_predictor(args),
+                               out_compress=_compress_arg(args))
         print(f"Predictions at {out}")
     elif args.command == "serve":
         if len(args.raster) > 1:
@@ -282,7 +302,8 @@ def _dispatch(args) -> int:
                                 class_zero=args.class_zero,
                                 spatial=args.spatial,
                                 tta=args.tta,
-                                predictor=_artifact_predictor(args))
+                                predictor=_artifact_predictor(args),
+                                out_compress=_compress_arg(args))
             print(f"{len(outs)} mosaics in {args.output}")
         elif args.stream:
             from .predict import predict_raster_streamed
@@ -297,7 +318,8 @@ def _dispatch(args) -> int:
                                     class_zero=args.class_zero,
                                     spatial=args.spatial,
                                     tta=args.tta,
-                                    predictor=_artifact_predictor(args))
+                                    predictor=_artifact_predictor(args),
+                                    out_compress=_compress_arg(args))
             print(f"Mosaic streamed to {args.output}")
         else:
             from .predict import predict_raster
@@ -312,7 +334,8 @@ def _dispatch(args) -> int:
                                        class_zero=args.class_zero,
                                        spatial=args.spatial,
                                        tta=args.tta,
-                                       predictor=_artifact_predictor(args))
+                                       predictor=_artifact_predictor(args),
+                                       out_compress=_compress_arg(args))
             if arr is None:
                 print(f"Mosaic streamed to {args.output}")
             else:

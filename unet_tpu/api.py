@@ -99,6 +99,8 @@ class Params:
     spatial: int = 1  # shard tile height over N devices (parallel/mesh.py)
     tta: bool = False  # 4-fold flip TTA at prediction (predict.py)
     grad_accum: int = 1  # sequential microbatches per step (train/loop.py)
+    tile_compress: Optional[str] = None  # img-tile codec (geo/tiff.py write)
+    predict_compress: Optional[str] = None  # prediction-output codec
 
 
 def apply_extra_parameter_gate(p: Params) -> Params:
@@ -187,6 +189,7 @@ def main(p: Params) -> None:
             class_zero=p.class_zero,
             seed=p.seed,
             reference_quirks=p.reference_quirks,
+            compress=p.tile_compress,
         )
 
     if p.Train:
@@ -211,6 +214,7 @@ def main(p: Params) -> None:
             spatial=p.spatial,
             tta=p.tta,
             reference_quirks=p.reference_quirks,
+            out_compress=p.predict_compress,
         )
 
     elapsed = time.time() - start_time
@@ -233,7 +237,7 @@ def main_multi(p: Params) -> None:
                 path_to_raster=img, path_to_mask=msk, patch_size=p.patch_size,
                 patch_overlap=p.patch_overlap, base_dir=base, split=list(p.split),
                 max_empty=p.max_empty, class_zero=p.class_zero, seed=p.seed,
-                reference_quirks=p.reference_quirks,
+                reference_quirks=p.reference_quirks, compress=p.tile_compress,
             )
 
     if p.Train:
@@ -262,7 +266,8 @@ def main_multi(p: Params) -> None:
             save_predictions(model, path, p.regression, merge, ac, p.specific_class,
                              p.large_file, p.AOI, p.year, p.validation_vision,
                              class_zero=p.class_zero, batch_size=p.predict_batch_size,
-                             reference_quirks=p.reference_quirks)
+                             reference_quirks=p.reference_quirks,
+                             out_compress=p.predict_compress)
 
     elapsed = time.time() - start_time
     print(f"The operation took {elapsed:.2f} seconds or {elapsed / 60:.2f} minutes")

@@ -198,6 +198,7 @@ def predict_raster_streamed(
     spatial: int = 1,
     tta: bool = False,
     predictor: Optional["Predictor"] = None,
+    out_compress: Optional[str] = None,
 ) -> str:
     """Whole-scene prediction at arbitrary AOI size in O(band) memory.
 
@@ -232,7 +233,8 @@ def predict_raster_streamed(
         out_bands, out_dtype, nodata = 1, np.uint8, None
     writer = tiff_codec.StripStreamWriter(
         str(output_path), h, w, out_bands, out_dtype,
-        transform=info.transform, crs=info.crs, nodata=nodata)
+        transform=info.transform, crs=info.crs, nodata=nodata,
+        compress=out_compress)
 
     acc_base = 0  # first row not yet finalized
     band_sum = np.zeros((0, w, n_out), np.float32)
@@ -328,6 +330,7 @@ def predict_raster(
     device_budget_bytes: int = 4 << 30,
     host_budget_bytes: int = 16 << 30,
     predictor: Optional["Predictor"] = None,
+    out_compress: Optional[str] = None,
 ):
     """Serve a whole GeoTIFF directly: window → batch → blend, no tile files.
 
@@ -371,7 +374,7 @@ def predict_raster(
             patch_overlap=patch_overlap, batch_size=batch_size,
             regression=regression, all_classes=all_classes,
             specific_class=specific_class, class_zero=class_zero,
-            devices=devices, predictor=predictor)
+            devices=devices, predictor=predictor, out_compress=out_compress)
         # deliberately NOT read back: the whole point is that the mosaic
         # exceeds RAM; callers stream it from the written file
         return None, info0.transform, info0.crs
@@ -434,7 +437,7 @@ def predict_raster(
         out = _apply_class_zero(out, nodata)
     if output_path is not None:
         write_raster(output_path, np.asarray(out), transform=scene.transform,
-                     crs=scene.crs, nodata=nodata)
+                     crs=scene.crs, nodata=nodata, compress=out_compress)
     return np.asarray(out), scene.transform, scene.crs
 
 
@@ -490,6 +493,7 @@ def save_predictions(
     device_merge: bool = False,
     reference_quirks: bool = False,
     predictor=None,
+    out_compress: Optional[str] = None,
 ) -> Path:
     """Predict every ``*.tif`` tile under ``predict_path``.
 
@@ -605,6 +609,7 @@ def save_predictions(
             write_raster(
                 output_folder / tile_path.name, np.asarray(out),
                 transform=raster.transform, crs=raster.crs,
+                compress=out_compress,
             )
 
     # large_file int8 stretch ON DEVICE (×31 + round-half-even == np.around,
@@ -696,7 +701,8 @@ def save_predictions(
             mosaic = _apply_class_zero(mosaic, nodata)
         name = "_".join(filter(None, [AOI, year, model_name, "prediction"])) + ".tif"
         out_file = output_folder / name
-        write_raster(out_file, mosaic, transform=transform, crs=crs, nodata=nodata)
+        write_raster(out_file, mosaic, transform=transform, crs=crs,
+                     nodata=nodata, compress=out_compress)
         print(f"Prediction stored in {output_folder}.")
         return out_file
     return output_folder

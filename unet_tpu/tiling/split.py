@@ -134,12 +134,16 @@ def split_raster(
     class_zero: bool = False,
     seed: Optional[int] = None,
     reference_quirks: bool = False,
+    compress: Optional[str] = None,
 ) -> int:
     """Cut a large GeoTIFF (+ optional mask) into training/prediction tiles.
 
     Full behavioral equivalent of create_tiles_unet.py:252-434. Returns the
     number of tiles written (the reference returns nothing; the count is
-    useful for tests and logs).
+    useful for tests and logs). ``compress`` applies geo.tiff write
+    compression to the image tiles (the reference writes uncompressed,
+    create_tiles_unet.py:208-249); mask tiles keep exact labels, so lossy
+    ``"jpeg"`` maps to ``"deflate"`` for them.
     """
     if split is None:
         split = [0.7, 0.2, 0.1]
@@ -219,6 +223,7 @@ def split_raster(
             crop.astype(tile_img_dtype),
             transform=tile_transform,
             crs=image.crs,
+            compress=compress,
         )
         if include_mask:
             write_raster(
@@ -226,6 +231,7 @@ def split_raster(
                 crop_mask.astype(tile_msk_dtype),
                 transform=tile_transform,
                 crs=image.crs,
+                compress="deflate" if compress == "jpeg" else compress,
             )
         n_saved += 1
 
