@@ -184,3 +184,50 @@ class TestJpegFuzz:
     ])
     def test_corrupt_jpeg_never_crashes(self, name, data):
         _assert_contract(f"jpeg/{name}", data, jpeg.decode)
+
+
+class TestNativeDecoderFuzz:
+    """The C++ batch decoder is on the production loader hot path: a
+    segfault there kills the training process (not catchable like the
+    Python fallback's exceptions). Corrupt tiles must produce error
+    returns — run in a subprocess so a crash fails the test instead of
+    the suite. The ASan-hardening bar, re-pinned per round."""
+
+    @pytest.mark.parametrize("name,kw,dims", [
+        ("lzw", dict(array=np.moveaxis(RGB, 2, 0), compress="lzw",
+                     predictor=True, rows_per_strip=8), (40, 52, 3, "uint8")),
+        ("jpeg", dict(array=np.moveaxis(RGB, 2, 0), compress="jpeg",
+                      rows_per_strip=16), (40, 52, 3, "uint8")),
+        ("jpeg-lossless", dict(array=U16[None], compress="jpeg-lossless",
+                               rows_per_strip=9), (33, 47, 1, "uint16")),
+    ])
+    def test_corrupt_tiles_never_crash_native(self, tmp_path, name, kw,
+                                              dims):
+        import os
+        import subprocess
+        import sys
+
+        from unet_tpu import native
+
+        if not native.available():
+            pytest.skip("native decoder unavailable")
+        h, w, c, dt = dims
+        paths = []
+        data = _tiff_bytes(**kw)
+        rng_cases = _fuzz_bytes(data, seed=_seed(f"native/{name}"))
+        for case, corrupt in rng_cases:
+            if case >= 100:
+                break
+            p = tmp_path / f"{case}.tif"
+            p.write_bytes(corrupt)
+            paths.append(str(p))
+        worker = os.path.join(os.path.dirname(__file__),
+                              "native_fuzz_worker.py")
+        r = subprocess.run(
+            [sys.executable, worker, str(h), str(w), str(c), dt] + paths,
+            capture_output=True, timeout=600,
+            env=dict(os.environ, PYTHONPATH=os.path.dirname(
+                os.path.dirname(os.path.abspath(worker)))))
+        assert r.returncode == 0 and b"ALIVE" in r.stdout, (
+            f"native decoder died (rc={r.returncode}): "
+            f"{r.stderr.decode()[-300:]}")
