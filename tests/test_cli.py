@@ -248,3 +248,16 @@ class TestOutputCompression:
                      ["serve", "m", "r", "o", "--compress", "jpeg"]):
             args = p.parse_args(argv)
             assert args.compress in ("lzw", "deflate", "jpeg")
+
+    def test_jpeg_compress_rejected_before_compute(self, tmp_path):
+        # float32/int8 output modes must fail fast, not after the mosaic
+        from unet_tpu.predict.predict import _check_out_compress
+
+        with pytest.raises(ValueError, match="regression"):
+            _check_out_compress("jpeg", regression=True)
+        with pytest.raises(ValueError, match="large_file"):
+            _check_out_compress("jpeg-lossless", large_file=True)
+        with pytest.raises(ValueError, match="all_classes"):
+            _check_out_compress("jpeg", all_classes=True)
+        _check_out_compress("jpeg")          # class map: fine
+        _check_out_compress("deflate", regression=True)  # lossless: fine

@@ -183,6 +183,28 @@ class Predictor:
         return np.asarray(self.predict_batch_device(images))
 
 
+def _check_out_compress(out_compress, regression=False, all_classes=False,
+                        specific_class=None, large_file=False) -> None:
+    """Fail BEFORE compute: JPEG output codecs only fit uint8 class maps,
+    and a multi-hour merge that dies at write time loses everything."""
+    if out_compress not in ("jpeg", "jpeg-lossless"):
+        return
+    wrong = []
+    if regression:
+        wrong.append("regression (float32 output)")
+    if all_classes:
+        wrong.append("all_classes (float32 output)")
+    if specific_class is not None:
+        wrong.append("specific_class (float32 output)")
+    if large_file:
+        wrong.append("large_file (int8 output)")
+    if wrong:
+        raise ValueError(
+            f"out_compress={out_compress!r} requires uint8 class-map "
+            f"output, incompatible with: {', '.join(wrong)} — use "
+            "'deflate'/'lzw'/'packbits' for those modes")
+
+
 def predict_raster_streamed(
     predict_model: str,
     raster_path: str,
@@ -214,6 +236,7 @@ def predict_raster_streamed(
     from ..geo import tiff as tiff_codec
     from ..tiling.windows import generate_windows
 
+    _check_out_compress(out_compress, regression, all_classes, specific_class)
     if predictor is None:
         predictor = Predictor(predict_model, batch_size=batch_size,
                               devices=devices, spatial=spatial, tta=tta)
@@ -352,6 +375,7 @@ def predict_raster(
     from ..ops.blend import DeviceMosaic
     from ..tiling.windows import generate_windows
 
+    _check_out_compress(out_compress, regression, all_classes, specific_class)
     if predictor is None:
         predictor = Predictor(predict_model, batch_size=batch_size,
                               devices=devices, spatial=spatial, tta=tta)
@@ -517,6 +541,8 @@ def save_predictions(
     # (predict.py:245-249), so class 0 behaves like None there; the default
     # here treats any explicit class (including 0) as selected (PARITY.md)
     sc_selected = bool(specific_class) if reference_quirks else (specific_class is not None)
+    _check_out_compress(out_compress, regression, all_classes,
+                        specific_class, large_file)
 
     path = Path(predict_path)
     model_name = Path(predict_model).stem
