@@ -249,3 +249,51 @@ class TestPallasProbe:
         assert probe.fused_aug_enabled() is True
         monkeypatch.setenv("UNET_TPU_FUSED_AUG", "0")
         assert probe.fused_aug_enabled() is False
+
+
+class TestProbeTransientErrors:
+    """A tunnel/RPC outage during the probe must NOT be persisted as a
+    per-toolchain capability verdict (a real bench run cached
+    scalar_prefetch_dma=false during a hiccup; re-probing clean said
+    true)."""
+
+    def test_classification(self):
+        from unet_tpu.ops import probe
+
+        # compiler rejections → cacheable False
+        assert probe._classify_probe_error(
+            "INTERNAL: Mosaic failed to compile TPU kernel") is False
+        assert probe._classify_probe_error(
+            "NotImplementedError: unsupported lowering") is False
+        # transport/transient → None
+        assert probe._classify_probe_error(
+            "ConnectionError: tunnel reset by peer") is None
+        assert probe._classify_probe_error(
+            "XlaRuntimeError: UNAVAILABLE: HTTP 502 from compile "
+            "service") is None
+
+    def test_transient_not_persisted(self, tmp_path, monkeypatch):
+        import importlib
+        import json
+
+        from unet_tpu.ops import probe
+
+        monkeypatch.setenv("UNET_TPU_PROBE_CACHE",
+                           str(tmp_path / "probe.json"))
+        importlib.reload(probe)
+        monkeypatch.setattr(probe, "_on_tpu", lambda: True)
+        monkeypatch.setattr(probe, "_probe_scalar_prefetch_dma",
+                            lambda: None)
+        assert probe.scalar_prefetch_dma_supported() is False  # this process
+        assert not (tmp_path / "probe.json").exists() or \
+            "scalar_prefetch_dma" not in json.loads(
+                (tmp_path / "probe.json").read_text())
+        assert probe.describe().get("probe_transient") is True
+        # a later process with a healthy platform gets the real verdict
+        importlib.reload(probe)
+        monkeypatch.setattr(probe, "_on_tpu", lambda: True)
+        monkeypatch.setattr(probe, "_probe_scalar_prefetch_dma",
+                            lambda: True)
+        assert probe.scalar_prefetch_dma_supported() is True
+        assert json.loads((tmp_path / "probe.json").read_text())[
+            "scalar_prefetch_dma"] is True

@@ -89,17 +89,40 @@ def scalar_prefetch_dma_supported() -> bool:
     """True when the platform compiles AND correctly runs an in-body DMA
     with a scalar-prefetch-derived slice offset (the bisected axon
     blocker). Cached per toolchain; CPU/GPU return False (the kernels are
-    TPU-shaped)."""
+    TPU-shaped). Transient infrastructure failures (tunnel/RPC outages on
+    remote-compile rigs) are NOT persisted — only a genuine compiler
+    rejection or a correctness mismatch is a toolchain verdict."""
+    global _CACHE
     data = _load()
     if "scalar_prefetch_dma" in data:
         return bool(data["scalar_prefetch_dma"])
-    ok = _probe_scalar_prefetch_dma() if _on_tpu() else False
-    data["scalar_prefetch_dma"] = ok
+    if not _on_tpu():
+        data["scalar_prefetch_dma"] = False
+        _store(data)
+        return False
+    verdict = _probe_scalar_prefetch_dma()
+    if verdict is None:  # transient: fail off for this process only
+        _CACHE = dict(data, scalar_prefetch_dma=False, probe_transient=True)
+        return False
+    data["scalar_prefetch_dma"] = verdict
     _store(data)
-    return ok
+    return verdict
 
 
-def _probe_scalar_prefetch_dma() -> bool:
+# Error texts that mean THE COMPILER rejected the kernel (a real toolchain
+# verdict, cacheable) rather than the compile service being unreachable.
+_COMPILER_MARKERS = ("mosaic", "lowering", "unsupported", "unimplemented",
+                     "invalid_argument", "invalid argument", "verification",
+                     "failed to compile", "not implemented")
+
+
+def _classify_probe_error(msg: str) -> Optional[bool]:
+    """False = compiler rejection (cache it); None = transient (don't)."""
+    low = msg.lower()
+    return False if any(m in low for m in _COMPILER_MARKERS) else None
+
+
+def _probe_scalar_prefetch_dma() -> Optional[bool]:
     try:
         import jax
         import jax.numpy as jnp
@@ -128,8 +151,8 @@ def _probe_scalar_prefetch_dma() -> bool:
             out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
         )(off, x)
         return bool(jnp.allclose(jax.device_get(out), jax.device_get(x)[8:16]))
-    except Exception:
-        return False
+    except Exception as e:
+        return _classify_probe_error(f"{type(e).__name__}: {e}")
 
 
 def record_kernel_ab(name: str, kernel_ms: float, fallback_ms: float) -> None:
