@@ -33,6 +33,7 @@ from pathlib import Path
 from typing import Optional
 
 _CACHE: Optional[dict] = None  # in-process
+_LAST_PROBE_ERROR: Optional[str] = None  # diagnostics for describe()
 
 
 def _cache_path() -> Path:
@@ -44,6 +45,8 @@ def _toolchain_key() -> str:
     import jax
 
     try:
+        import jax.extend.backend  # not pulled in by `import jax` alone
+
         backend = jax.extend.backend.get_backend()
         plat = backend.platform
         ver = getattr(backend, "platform_version", "?")
@@ -102,7 +105,8 @@ def scalar_prefetch_dma_supported() -> bool:
         return False
     verdict = _probe_scalar_prefetch_dma()
     if verdict is None:  # transient: fail off for this process only
-        _CACHE = dict(data, scalar_prefetch_dma=False, probe_transient=True)
+        _CACHE = dict(data, scalar_prefetch_dma=False, probe_transient=True,
+                      probe_error=_LAST_PROBE_ERROR)
         return False
     data["scalar_prefetch_dma"] = verdict
     _store(data)
@@ -152,7 +156,9 @@ def _probe_scalar_prefetch_dma() -> Optional[bool]:
         )(off, x)
         return bool(jnp.allclose(jax.device_get(out), jax.device_get(x)[8:16]))
     except Exception as e:
-        return _classify_probe_error(f"{type(e).__name__}: {e}")
+        global _LAST_PROBE_ERROR
+        _LAST_PROBE_ERROR = f"{type(e).__name__}: {e}"[:300]
+        return _classify_probe_error(_LAST_PROBE_ERROR)
 
 
 def record_kernel_ab(name: str, kernel_ms: float, fallback_ms: float) -> None:
