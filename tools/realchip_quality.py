@@ -40,6 +40,9 @@ def main() -> None:
     ap.add_argument("--batch-size", type=int, default=16)
     ap.add_argument("--parity", action="store_true",
                     help="run the reference-shaped topology instead")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="training seed (init/aug streams); scene stays "
+                         "fixed so seeds are comparable")
     args = ap.parse_args()
 
     from aerial_fixture import class_iou, make_scene
@@ -67,6 +70,7 @@ def main() -> None:
                                        "buildings", "water"],
         arch=args.arch, batch_size=args.batch_size, epochs=args.epochs,
         lr=2e-3, class_weights="weighted", tpu_opt=not args.parity,
+        seed=args.seed,
     )
     t0 = time.perf_counter()
     bundle = train_model(cfg)
@@ -87,7 +91,8 @@ def main() -> None:
     n_train = len(list((tiles / "trai" / "img_tiles").glob("*.tif")))
     out = {
         "config": f"{args.arch} {'parity' if args.parity else 'tpu_opt'} "
-                  f"512^2 bs{args.batch_size} x{args.epochs}ep",
+                  f"512^2 bs{args.batch_size} x{args.epochs}ep "
+                  f"seed{args.seed}",
         "train_tiles": n_train,
         "train_wall_s": round(train_s, 1),
         "epoch_s": round(train_s / args.epochs, 2),
