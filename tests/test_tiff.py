@@ -403,3 +403,102 @@ class TestJpegWrite:
         with pytest.raises(ValueError, match="uint8"):
             tiff.StripStreamWriter(str(tmp_path / "x.tif"), 8, 8, 1,
                                    np.float32, compress="jpeg")
+
+
+class TestOverviews:
+    """Reduced-resolution pages (write(overviews=[...]) — the gdaladdo /
+    COG layout: NewSubfileType=1 IFDs chained behind the main image)."""
+
+    def _arr(self, rng, c=3, h=210, w=150):
+        yy, xx = np.mgrid[0:h, 0:w]
+        base = np.stack([(yy * (i + 2)) % (251 - i) for i in range(c)])
+        return np.clip(base + rng.normal(0, 8, (c, h, w)), 0,
+                       255).astype(np.uint8)
+
+    def test_average_levels_exact(self, tmp_path, rng):
+        arr = self._arr(rng)
+        p = tmp_path / "ov.tif"
+        tiff.write(str(p), arr, transform=TRANSFORM, crs="EPSG:25832",
+                   compress="deflate", overviews=[2, 4, 8])
+        full, info = tiff.read(str(p))
+        np.testing.assert_array_equal(full, arr)  # main image untouched
+        assert info.transform == TRANSFORM
+        assert tiff.list_overviews(str(p)) == [(105, 75), (53, 38), (27, 19)]
+        hwc = np.moveaxis(arr, 0, 2)
+        for lvl, f in enumerate([2, 4, 8]):
+            ov, oi = tiff.read_overview(str(p), lvl)
+            eh, ew = -(-210 // f), -(-150 // f)
+            pad = np.pad(hwc, ((0, eh * f - 210), (0, ew * f - 150), (0, 0)),
+                         mode="edge")
+            want = np.rint(pad.reshape(eh, f, ew, f, 3).astype(np.float64)
+                           .mean((1, 3))).astype(np.uint8)
+            np.testing.assert_array_equal(ov, np.moveaxis(want, 2, 0))
+            assert int(oi.tags[254]) == 1  # NewSubfileType: reduced
+
+    def test_nearest_for_class_maps(self, tmp_path, rng):
+        classes = rng.integers(0, 5, (1, 64, 64)).astype(np.uint8)
+        p = tmp_path / "cls.tif"
+        tiff.write(str(p), classes, overviews=[4],
+                   overview_resampling="nearest")
+        ov, _ = tiff.read_overview(str(p), 0)
+        np.testing.assert_array_equal(ov, classes[:, ::4, ::4])
+        assert set(np.unique(ov)) <= set(np.unique(classes))
+
+    def test_pil_reads_all_pages_exactly(self, tmp_path, rng):
+        from PIL import Image
+
+        arr = self._arr(rng)
+        p = tmp_path / "pg.tif"
+        tiff.write(str(p), arr, overviews=[2, 4])
+        im = Image.open(str(p))
+        sizes = []
+        try:
+            k = 0
+            while True:
+                im.seek(k)
+                sizes.append(im.size)
+                k += 1
+        except EOFError:
+            pass
+        assert sizes == [(150, 210), (75, 105), (38, 53)]
+        im.seek(1)
+        ours, _ = tiff.read_overview(str(p), 0)
+        np.testing.assert_array_equal(
+            np.moveaxis(np.asarray(im.convert("RGB")), 2, 0), ours)
+
+    def test_bigtiff_bigendian_tiled_jpeg_combo(self, tmp_path, rng):
+        arr = self._arr(rng, h=130, w=170)
+        p = tmp_path / "combo.tif"
+        tiff.write(str(p), arr, compress="jpeg", quality=95, tile=(64, 64),
+                   bigtiff=True, overviews=[2])
+        full, _ = tiff.read(str(p))
+        assert np.abs(full.astype(np.int16) - arr.astype(np.int16)).mean() < 4
+        ov, oi = tiff.read_overview(str(p), 0)
+        assert (oi.height, oi.width) == (65, 85)
+
+    def test_single_page_and_errors(self, tmp_path, rng):
+        p = tmp_path / "sp.tif"
+        tiff.write(str(p), self._arr(rng, c=1, h=32, w=32))
+        assert tiff.list_overviews(str(p)) == []
+        with pytest.raises(ValueError, match="no page"):
+            tiff.read_overview(str(p), 0)
+        with pytest.raises(ValueError, match=">= 2"):
+            tiff.write(str(tmp_path / "x.tif"),
+                       self._arr(rng, c=1, h=16, w=16), overviews=[1])
+        with pytest.raises(ValueError, match="resampling"):
+            tiff.write(str(tmp_path / "x.tif"),
+                       self._arr(rng, c=1, h=16, w=16), overviews=[2],
+                       overview_resampling="cubic")
+
+    def test_rgb_photometric_for_plain_byte_imagery(self, tmp_path, rng):
+        # PIL/libtiff can't map photometric-1 + 3 samples to a pixel mode;
+        # >=3-band uint8 now writes GDAL-style RGB (2)
+        from PIL import Image
+
+        arr = self._arr(rng)
+        p = tmp_path / "rgb.tif"
+        tiff.write(str(p), arr, compress="lzw")
+        _, info = tiff.read(str(p))
+        assert int(info.tags[262]) == 2
+        np.testing.assert_array_equal(
+            np.moveaxis(np.asarray(Image.open(str(p))), 2, 0), arr)

@@ -56,6 +56,7 @@ TAG_TILE_WIDTH = 322
 TAG_TILE_LENGTH = 323
 TAG_TILE_OFFSETS = 324
 TAG_TILE_BYTE_COUNTS = 325
+TAG_NEW_SUBFILE_TYPE = 254
 TAG_EXTRA_SAMPLES = 338
 TAG_YCBCR_SUBSAMPLING = 530
 TAG_SAMPLE_FORMAT = 339
@@ -367,17 +368,18 @@ def read_info(path: str) -> TiffInfo:
         return _parse_info_fh(f)
 
 
-def _parse_info(data: bytes) -> TiffInfo:
+def _parse_info(data: bytes, ifd_index: int = 0) -> TiffInfo:
     import io
 
-    return _parse_info_fh(io.BytesIO(data))
+    return _parse_info_fh(io.BytesIO(data), ifd_index)
 
 
-def _parse_info_fh(f) -> TiffInfo:
-    """Parse the first IFD from an open binary file handle with bounded
-    reads: the header, the IFD entry block, and each out-of-line value are
-    fetched by seek — never the whole file (the IFD may sit at EOF for
-    streamed files; offsets are absolute so this costs nothing)."""
+def _parse_info_fh(f, ifd_index: int = 0) -> TiffInfo:
+    """Parse one IFD (the ``ifd_index``-th page of the chain; 0 = the main
+    image, 1+ = overview/extra pages) from an open binary file handle with
+    bounded reads: the header, the IFD entry block, and each out-of-line
+    value are fetched by seek — never the whole file (the IFD may sit at
+    EOF for streamed files; offsets are absolute so this costs nothing)."""
 
     def pread(off: int, n: int) -> bytes:
         f.seek(off)
@@ -406,6 +408,21 @@ def _parse_info_fh(f) -> TiffInfo:
     else:
         raise ValueError(f"Not a TIFF file (magic={magic})")
 
+    def walk_next(off: int) -> int:
+        """Next-IFD pointer of the page at ``off`` (0 = end of chain)."""
+        if bigtiff:
+            (n,) = struct.unpack(bo + "Q", pread(off, 8))
+            (nxt,) = struct.unpack(bo + "Q", pread(off + 8 + n * 20, 8))
+        else:
+            (n,) = struct.unpack(bo + "H", pread(off, 2))
+            (nxt,) = struct.unpack(bo + "I", pread(off + 2 + n * 12, 4))
+        return nxt
+
+    for _ in range(ifd_index):
+        ifd_off = walk_next(ifd_off)
+        if ifd_off == 0:
+            raise ValueError(f"TIFF has no page #{ifd_index}")
+
     tags: Dict[int, object] = {}
     if bigtiff:
         (n_entries,) = struct.unpack(bo + "Q", pread(ifd_off, 8))
@@ -414,6 +431,7 @@ def _parse_info_fh(f) -> TiffInfo:
         (n_entries,) = struct.unpack(bo + "H", pread(ifd_off, 2))
         entry_base, entry_size, count_fmt, inline = ifd_off + 2, 12, "I", 4
     entry_block = pread(entry_base, entry_size * n_entries)
+    next_ifd = walk_next(ifd_off)
 
     for i in range(n_entries):
         off = entry_size * i
@@ -461,6 +479,7 @@ def _parse_info_fh(f) -> TiffInfo:
 
     tags["_byteorder"] = bo
     tags["_bigtiff"] = bigtiff
+    tags["_next_ifd"] = next_ifd
     return TiffInfo(
         width=width,
         height=height,
@@ -601,8 +620,41 @@ def read(path: str) -> Tuple[np.ndarray, TiffInfo]:
         raise ValueError(f"Corrupt TIFF: {type(e).__name__}: {e}") from e
 
 
-def _read_impl(data: bytes, path: str) -> Tuple[np.ndarray, TiffInfo]:
-    info = _parse_info(data)
+def read_overview(path: str, level: int) -> Tuple[np.ndarray, TiffInfo]:
+    """Read overview page ``level`` (0 = first reduced-resolution IFD —
+    the pages ``write(overviews=[...])`` / gdaladdo append) as (C, H, W).
+    Same malformed-input contract as :func:`read`."""
+    with open(path, "rb") as f:
+        data = f.read()
+    try:
+        return _read_impl(data, path, ifd_index=level + 1)
+    except ValueError:
+        raise
+    except (struct.error, IndexError, KeyError, OverflowError,
+            MemoryError, TypeError) as e:
+        raise ValueError(f"Corrupt TIFF: {type(e).__name__}: {e}") from e
+
+
+def list_overviews(path: str) -> List[Tuple[int, int]]:
+    """(height, width) of each overview page, in chain order — empty for
+    single-page files. Bounded reads (header + IFD blocks only)."""
+    out: List[Tuple[int, int]] = []
+    with open(path, "rb") as f:
+        k = 1
+        while k <= 64:  # also bounds corrupt cyclic IFD chains
+            try:
+                info = _parse_info_fh(f, ifd_index=k)
+            except (ValueError, struct.error, IndexError, KeyError,
+                    OverflowError, MemoryError, TypeError):
+                break
+            out.append((info.height, info.width))
+            k += 1
+    return out
+
+
+def _read_impl(data: bytes, path: str,
+               ifd_index: int = 0) -> Tuple[np.ndarray, TiffInfo]:
+    info = _parse_info(data, ifd_index)
     tags = info.tags
     bo = tags["_byteorder"]
 
@@ -871,6 +923,8 @@ def write(
     bigtiff: bool = False,
     byteorder: str = "<",
     quality: int = 90,
+    overviews: Optional[Sequence[int]] = None,
+    overview_resampling: str = "average",
 ) -> None:
     """Write a ``(C, H, W)`` or ``(H, W)`` array as a (Geo)TIFF.
 
@@ -890,6 +944,16 @@ def write(
     segments — the legacy >8-bit aerial layout — for 1-4 band
     uint8/uint16 data. Both are self-contained per segment (no
     JPEGTables), which every libtiff/GDAL reader accepts.
+
+    ``overviews=[2, 4, 8]`` appends reduced-resolution pages
+    (NewSubfileType=1 IFDs chained after the full image — what
+    ``gdaladdo`` / the COG driver produce), each downsampled by the
+    given integer factor with ``overview_resampling`` ``"average"``
+    (imagery) or ``"nearest"`` (class maps), sharing the main image's
+    compression/tiling. Read them back with :func:`read_overview` /
+    :func:`list_overviews`; plain :func:`read` still returns the full
+    resolution, and single-page readers are unaffected (the chain rides
+    the next-IFD pointer).
     """
     arr = np.asarray(array)
     if arr.ndim == 2:
@@ -925,6 +989,8 @@ def write(
                 raise ValueError("compress='jpeg-lossless' requires 1-4 "
                                  f"bands, got {c}")
         comp_code = COMP_JPEG
+        if jpeg_mode == "jpeg-lossless" and c >= 3 and arr.dtype == np.uint8:
+            photometric = 2  # raw RGB samples (no color transform)
     elif compress not in _WRITE_COMPRESSORS:
         raise ValueError(
             f"Unsupported compression {compress!r}; options: deflate, lzw, "
@@ -932,6 +998,12 @@ def write(
         )
     else:
         comp_code, compress_fn = _WRITE_COMPRESSORS[compress]
+        if c >= 3 and arr.dtype == np.uint8:
+            # GDAL-style RGB interpretation for >=3-band byte imagery;
+            # bands 4+ become unspecified extra samples. Pure metadata for
+            # our reader, but PIL/libtiff need a known photometric/sample
+            # combination to map a pixel mode at all
+            photometric = 2
     hwc = np.ascontiguousarray(np.moveaxis(arr, 0, 2)).astype(
         arr.dtype.newbyteorder(byteorder))
 
@@ -957,55 +1029,86 @@ def write(
             payload = seg.tobytes()
         return compress_fn(payload)
 
-    entries: List[Tuple[int, int, Sequence]] = []  # (tag, type, values)
-    segments: List[bytes] = []
-    if tile is not None:
-        tl, tw_ = int(tile[0]), int(tile[1])
-        if tl % 16 or tw_ % 16:
-            raise ValueError(f"TIFF tile dims must be multiples of 16, got {tile}")
-        tiles_down = (h + tl - 1) // tl
-        tiles_across = (w + tw_ - 1) // tw_
-        padded = np.zeros((tiles_down * tl, tiles_across * tw_, c), hwc.dtype)
-        padded[:h, :w] = hwc
-        for ty in range(tiles_down):
-            for tx in range(tiles_across):
-                seg = padded[ty * tl : (ty + 1) * tl, tx * tw_ : (tx + 1) * tw_]
-                segments.append(encode_segment(np.ascontiguousarray(seg)))
-        entries.append((TAG_TILE_WIDTH, TYPE_LONG, [tw_]))
-        entries.append((TAG_TILE_LENGTH, TYPE_LONG, [tl]))
-        off_tag, cnt_tag = TAG_TILE_OFFSETS, TAG_TILE_BYTE_COUNTS
-    else:
-        if rows_per_strip is None:
-            # target ~256 KiB strips for streaming-friendly output
-            row_bytes = max(1, w * c * arr.dtype.itemsize)
-            rows_per_strip = max(1, min(h, (256 * 1024) // row_bytes))
-        n_strips = (h + rows_per_strip - 1) // rows_per_strip
-        for s in range(n_strips):
-            seg = hwc[s * rows_per_strip : (s + 1) * rows_per_strip]
-            segments.append(encode_segment(seg))
-        entries.append((TAG_ROWS_PER_STRIP, TYPE_LONG, [rows_per_strip]))
-        off_tag, cnt_tag = TAG_STRIP_OFFSETS, TAG_STRIP_BYTE_COUNTS
+    def build_image(level_hwc: np.ndarray, reduced: bool):
+        """(entries, segments, (off_tag, cnt_tag)) for one IFD at one
+        resolution level — strips or tiles via ``encode_segment``."""
+        lh, lw = level_hwc.shape[:2]
+        entries: List[Tuple[int, int, Sequence]] = []  # (tag, type, values)
+        segments: List[bytes] = []
+        if tile is not None:
+            tl, tw_ = int(tile[0]), int(tile[1])
+            if tl % 16 or tw_ % 16:
+                raise ValueError(
+                    f"TIFF tile dims must be multiples of 16, got {tile}")
+            tiles_down = (lh + tl - 1) // tl
+            tiles_across = (lw + tw_ - 1) // tw_
+            padded = np.zeros((tiles_down * tl, tiles_across * tw_, c),
+                              level_hwc.dtype)
+            padded[:lh, :lw] = level_hwc
+            for ty in range(tiles_down):
+                for tx in range(tiles_across):
+                    seg = padded[ty * tl : (ty + 1) * tl,
+                                 tx * tw_ : (tx + 1) * tw_]
+                    segments.append(encode_segment(np.ascontiguousarray(seg)))
+            entries.append((TAG_TILE_WIDTH, TYPE_LONG, [tw_]))
+            entries.append((TAG_TILE_LENGTH, TYPE_LONG, [tl]))
+            off_cnt = (TAG_TILE_OFFSETS, TAG_TILE_BYTE_COUNTS)
+        else:
+            rps = rows_per_strip
+            if rps is None:
+                # target ~256 KiB strips for streaming-friendly output
+                row_bytes = max(1, lw * c * arr.dtype.itemsize)
+                rps = max(1, min(lh, (256 * 1024) // row_bytes))
+            n_strips = (lh + rps - 1) // rps
+            for s in range(n_strips):
+                segments.append(encode_segment(
+                    level_hwc[s * rps : (s + 1) * rps]))
+            entries.append((TAG_ROWS_PER_STRIP, TYPE_LONG, [rps]))
+            off_cnt = (TAG_STRIP_OFFSETS, TAG_STRIP_BYTE_COUNTS)
+        if reduced:  # overview page: no geo tags, flagged reduced-resolution
+            entries.append((TAG_NEW_SUBFILE_TYPE, TYPE_LONG, [1]))
+            entries.extend(_common_entries(arr.dtype, c, lh, lw, comp_code,
+                                           use_pred2, use_pred3, None, None,
+                                           nodata, photometric=photometric))
+        else:
+            entries.extend(_common_entries(arr.dtype, c, lh, lw, comp_code,
+                                           use_pred2, use_pred3, transform,
+                                           crs, nodata,
+                                           photometric=photometric))
+        return entries, segments, off_cnt
 
-    entries.extend(_common_entries(arr.dtype, c, h, w, comp_code,
-                                   use_pred2, use_pred3, transform, crs,
-                                   nodata, photometric=photometric))
+    levels = [hwc]
+    for f_ in (overviews or []):
+        f_ = int(f_)
+        if f_ < 2:
+            raise ValueError(f"Overview factors must be >= 2, got {f_}")
+        if overview_resampling == "nearest":
+            lv = hwc[::f_, ::f_]
+        elif overview_resampling == "average":
+            ph, pw = -(-h // f_) * f_, -(-w // f_) * f_
+            p = np.pad(hwc, ((0, ph - h), (0, pw - w), (0, 0)), mode="edge")
+            m = (p.reshape(ph // f_, f_, pw // f_, f_, c)
+                 .astype(np.float64).mean(axis=(1, 3)))
+            lv = (np.rint(m) if arr.dtype.kind in "iu" else m).astype(hwc.dtype)
+        else:
+            raise ValueError(
+                f"Unknown overview_resampling {overview_resampling!r}; "
+                "options: average, nearest")
+        levels.append(np.ascontiguousarray(lv))
 
-    seg_counts = [len(p) for p in segments]
-    if not bigtiff and sum(seg_counts) + 4096 + 16 * len(segments) > 0xFFFFFFFF:
+    images = [build_image(lv, i > 0) for i, lv in enumerate(levels)]
+
+    all_counts = [len(p) for _, segs, _ in images for p in segs]
+    if (not bigtiff and sum(all_counts) + 4096 * len(images)
+            + 16 * len(all_counts) > 0xFFFFFFFF):
         bigtiff = True  # classic TIFF offsets are 32-bit; auto-upgrade
     offset_type = TYPE_LONG8 if bigtiff else TYPE_LONG
-    entries.append((cnt_tag, offset_type, seg_counts))
-    entries.append((off_tag, offset_type, [0] * len(segments)))  # patched below
-    entries.sort(key=lambda e: e[0])
 
     bo = byteorder
     if bigtiff:
         header_size, entry_size, count_fmt, inline, next_fmt = 16, 20, "Q", 8, "Q"
     else:
         header_size, entry_size, count_fmt, inline, next_fmt = 8, 12, "I", 4, "I"
-    ifd_off = header_size
-    n_tags = len(entries)
-    ifd_size = (8 if bigtiff else 2) + n_tags * entry_size + struct.calcsize(next_fmt)
 
     def encode_values(ftype: int, values: Sequence) -> bytes:
         if ftype == TYPE_ASCII:
@@ -1013,58 +1116,72 @@ def write(
         fmt = _TYPE_FMT[ftype]
         return struct.pack(bo + fmt * len(values), *values)
 
-    overflow_off = ifd_off + ifd_size
-    overflow: List[bytes] = []
-    encoded: List[Tuple[int, int, int, bytes, Optional[int]]] = []
-    for tag, ftype, values in entries:
-        raw = encode_values(ftype, values)
-        count = len(values[0]) + 1 if ftype == TYPE_ASCII else len(values)
-        if len(raw) <= inline:
-            encoded.append((tag, ftype, count, raw.ljust(inline, b"\x00"), None))
-        else:
-            pos = overflow_off + sum(len(o) + (len(o) & 1) for o in overflow)
-            overflow.append(raw)
-            encoded.append((tag, ftype, count,
-                            struct.pack(bo + ("Q" if bigtiff else "I"), pos), pos))
+    # finalize per-image entry lists (byte counts + offset placeholders)
+    finals = []
+    for entries, segments, (off_tag, cnt_tag) in images:
+        e = list(entries)
+        e.append((cnt_tag, offset_type, [len(p) for p in segments]))
+        e.append((off_tag, offset_type, [0] * len(segments)))  # pass 2
+        e.sort(key=lambda t: t[0])
+        finals.append((e, segments, off_tag))
 
-    data_off = overflow_off + sum(len(o) + (len(o) & 1) for o in overflow)
-    seg_offsets = []
-    pos = data_off
-    for cnt in seg_counts:
-        seg_offsets.append(pos)
-        pos += cnt
+    # pass 1: block sizes (value encodings are position-independent), so
+    # the layout is header | IFD0+overflow0 | IFD1+overflow1 | … | data
+    ifd_bases: List[int] = []
+    blocks_meta: List[Tuple[int, int]] = []
+    pos = header_size
+    for e, _segs, _ in finals:
+        ifd_size = ((8 if bigtiff else 2) + len(e) * entry_size
+                    + struct.calcsize(next_fmt))
+        overflow_len = 0
+        for _tag, ftype, values in e:
+            raw_len = len(encode_values(ftype, values))
+            if raw_len > inline:
+                overflow_len += raw_len + (raw_len & 1)
+        ifd_bases.append(pos)
+        blocks_meta.append((ifd_size, overflow_len))
+        pos += ifd_size + overflow_len
+    data_off = pos
 
-    # patch segment offsets now that data_off is known
-    off_fmt = "Q" if offset_type == TYPE_LONG8 else "I"
-    raw_offs = struct.pack(bo + off_fmt * len(segments), *seg_offsets)
-    for i, (tag, ftype, count, inline_bytes, opos) in enumerate(encoded):
-        if tag == off_tag:
-            if opos is None:
-                encoded[i] = (tag, ftype, count, raw_offs.ljust(inline, b"\x00"), None)
-            else:
-                idx = next(
-                    k for k, o in enumerate(overflow)
-                    if overflow_off + sum(len(x) + (len(x) & 1) for x in overflow[:k]) == opos
-                )
-                overflow[idx] = raw_offs
-
+    # pass 2: emit with real positions; IFDs chain via the next pointer
     out = bytearray()
     magic_bytes = b"II" if bo == "<" else b"MM"
     if bigtiff:
-        out += struct.pack(bo + "2sHHHQ", magic_bytes, 43, 8, 0, ifd_off)
-        out += struct.pack(bo + "Q", n_tags)
+        out += struct.pack(bo + "2sHHHQ", magic_bytes, 43, 8, 0, header_size)
     else:
-        out += struct.pack(bo + "2sHI", magic_bytes, 42, ifd_off)
-        out += struct.pack(bo + "H", n_tags)
-    for tag, ftype, count, inline_bytes, _ in encoded:
-        out += struct.pack(bo + "HH" + count_fmt, tag, ftype, count) + inline_bytes
-    out += struct.pack(bo + next_fmt, 0)  # next IFD
-    for o in overflow:
-        out += o
-        if len(o) & 1:
-            out += b"\x00"
-    for p in segments:
-        out += p
+        out += struct.pack(bo + "2sHI", magic_bytes, 42, header_size)
+    seg_cursor = data_off
+    for idx, (e, segments, off_tag) in enumerate(finals):
+        ifd_size, _overflow_len = blocks_meta[idx]
+        overflow_off = ifd_bases[idx] + ifd_size
+        seg_offsets = []
+        for p in segments:
+            seg_offsets.append(seg_cursor)
+            seg_cursor += len(p)
+        overflow = bytearray()
+        entry_block = bytearray()
+        for tag, ftype, values in e:
+            if tag == off_tag:
+                values = seg_offsets
+            raw = encode_values(ftype, values)
+            count = len(values[0]) + 1 if ftype == TYPE_ASCII else len(values)
+            entry_block += struct.pack(bo + "HH" + count_fmt, tag, ftype, count)
+            if len(raw) <= inline:
+                entry_block += raw.ljust(inline, b"\x00")
+            else:
+                vpos = overflow_off + len(overflow)
+                entry_block += struct.pack(bo + ("Q" if bigtiff else "I"), vpos)
+                overflow += raw
+                if len(raw) & 1:
+                    overflow += b"\x00"
+        next_ifd = ifd_bases[idx + 1] if idx + 1 < len(finals) else 0
+        out += struct.pack(bo + ("Q" if bigtiff else "H"), len(e))
+        out += entry_block
+        out += struct.pack(bo + next_fmt, next_ifd)
+        out += overflow
+    for _e, segments, _ in finals:
+        for p in segments:
+            out += p
 
     with open(path, "wb") as f:
         f.write(bytes(out))
@@ -1300,6 +1417,8 @@ class StripStreamWriter:
                 "lzw, packbits, jpeg, jpeg-lossless")
         else:
             self.comp_code, self._compress_fn = _WRITE_COMPRESSORS[compress]
+            if self.c >= 3 and self.dtype == np.uint8:
+                self.photometric = 2  # GDAL-style RGB for byte imagery
         self.transform, self.crs, self.nodata = transform, crs, nodata
         # ``bigtiff=True`` forces the 8-byte-offset container; with the
         # default False the container is chosen at close(), when the actual
