@@ -214,4 +214,7 @@ class TestInvariants:
         for p in sorted(base.rglob("*.tif")):
             h.update(p.name.encode())
             h.update(p.read_bytes())
-        assert h.hexdigest() == "d20dd2f1453a7c57abcc22f53afa945228c7c30ed0aed38973b8fffc63824e05"
+        # re-pinned 2026-08-19: 3-band uint8 tiles now carry photometric=RGB
+        # (geo/tiff.py byte-imagery change); every tile PIL-cross-checked at
+        # the re-pin
+        assert h.hexdigest() == "b7353b8b0bfa4820115114c6f036b8adcfc601135db46996fbecd7b32b33121b"

@@ -31,6 +31,11 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from unet_tpu.utils.compile_cache import enable_compile_cache
+
+enable_compile_cache()  # the remote compile service stalls for minutes at
+# times (BENCH_NOTES session 6); cached executables make traces repeatable
+
 from unet_tpu.data.augment import AugmentConfig, augment_batch
 from unet_tpu.models import build_unet
 from unet_tpu.train.losses import cross_entropy

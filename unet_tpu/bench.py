@@ -432,6 +432,15 @@ def run_benchmark(tile: int = 512, batch_size: int = 24, steps: int = 24,
     bs24), prediction at bs64."""
     import sys
 
+    # Persistent XLA cache: the remote axon compile service has shown
+    # multi-minute stalls on cold compiles (round-3 session 6: the same
+    # bs24 program took >570 s once, 98 s on retry). Caching the compiled
+    # executables makes every re-run — including the driver's end-of-round
+    # bench in the same container — immune to compile-service weather.
+    from .utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
+
     train_res = None
     for bs in (batch_size, batch_size // 2, max(batch_size // 4, 1)):
         try:
