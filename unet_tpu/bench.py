@@ -424,12 +424,60 @@ def bench_pallas_probe(tile: int = 512) -> dict:
     return probe.describe()
 
 
+def _bench_section(fn_name: str, kwargs: dict, timeout_s: int,
+                   round_floats: int = 4) -> dict:
+    """Run one detail section in a subprocess under a hard timeout.
+
+    The remote axon compile service stalls for tens of minutes at times
+    (round-3 session 6: the parity-topology compile sat >40 min while the
+    same program compiled in ~100 s hours earlier). In-process, one stalled
+    section starves the whole bench — including the headline the driver
+    records. A subprocess can be killed; the section then reports an honest
+    error instead of hanging the run. The persistent compile cache is
+    shared, so a section that DID get through leaves the next run a cache
+    hit."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    code = (
+        "import json, sys\n"
+        "sys.path.insert(0, '.')\n"
+        f"from unet_tpu.bench import {fn_name}\n"
+        f"print('\\n' + json.dumps({fn_name}(**{kwargs!r})))\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s, cwd=Path(__file__).resolve().parents[1],
+            env=os.environ.copy())
+        if r.returncode != 0:
+            return {"error": (r.stderr or "section failed").strip()[-160:]}
+        res = json.loads(r.stdout.strip().splitlines()[-1])
+        return {k: (round(v, round_floats) if isinstance(v, float) else v)
+                for k, v in res.items()}
+    except subprocess.TimeoutExpired:
+        return {"error": f"section timed out after {timeout_s}s "
+                         "(compile-service stall?)"}
+    except Exception as e:
+        return {"error": str(e)[:160]}
+
+
 def run_benchmark(tile: int = 512, batch_size: int = 24, steps: int = 24,
                   predict_batch: int = 64, parity_batch: int = 16) -> dict:
     """Batch sizes are each config's measured sweet spot on one v5e chip
     (round-3 sweep, BENCH_NOTES): tpu_opt peaks at bs24 (252.0 vs 236.5 at
     bs16, 242.9 at bs32), the parity topology at bs16 (104.0 vs 100.3 at
-    bs24), prediction at bs64."""
+    bs24), prediction at bs64.
+
+    Output contract: the headline JSON line is printed to stdout AS SOON AS
+    the flagship training number exists; the detail sections (parity
+    topology, predict, loader, e2e, scaling, pallas) each run in a
+    timeout-guarded subprocess afterwards and only feed the stderr detail
+    line — a compile-service stall in any of them can no longer starve the
+    driver of the metric."""
+    import os
     import sys
 
     # Persistent XLA cache: the remote axon compile service has shown
@@ -450,25 +498,28 @@ def run_benchmark(tile: int = 512, batch_size: int = 24, steps: int = 24,
             print(f"train bench failed at bs={bs}: {e}", file=sys.stderr)
     if train_res is None:
         raise RuntimeError("training benchmark failed at all batch sizes")
-    try:
-        parity_res = bench_train(tile=tile,
-                                 batch_size=min(parity_batch, train_res["batch_size"]),
-                                 steps=steps, tpu_opt=False)
-    except Exception as e:
-        parity_res = {"error": str(e)[:120]}
-    pred_res = bench_predict(tile=tile, batch_size=predict_batch, steps=steps)
     value = train_res["tiles_per_sec_per_chip"]
-    try:
-        loader_res = {k: (round(v, 1) if v else v) for k, v in bench_loader().items()}
-    except Exception as e:
-        loader_res = {"error": str(e)[:100]}
-    try:
-        e2e_res = {k: (round(v, 2) if isinstance(v, float) else v)
-                   for k, v in bench_e2e_train(
-                       tile=tile,
-                       batch_size=min(16, train_res["batch_size"])).items()}
-    except Exception as e:
-        e2e_res = {"error": str(e)[:120]}
+    result = {
+        "metric": "train_tiles_per_sec_per_chip_512",
+        "value": round(value, 3),
+        "unit": "tiles/s/chip",
+        "vs_baseline": round(value / A100_BASELINE_TILES_PER_SEC, 3),
+    }
+    print(json.dumps(result), flush=True)
+
+    budget = int(os.environ.get("UNET_TPU_BENCH_SECTION_TIMEOUT", "900"))
+    parity_res = _bench_section(
+        "bench_train",
+        dict(tile=tile, batch_size=min(parity_batch, train_res["batch_size"]),
+             steps=steps, tpu_opt=False), budget)
+    pred_res = _bench_section(
+        "bench_predict", dict(tile=tile, batch_size=predict_batch,
+                              steps=steps), budget)
+    loader_res = _bench_section("bench_loader", {}, budget, round_floats=1)
+    e2e_res = _bench_section(
+        "bench_e2e_train",
+        dict(tile=tile, batch_size=min(16, train_res["batch_size"])),
+        budget, round_floats=2)
     try:
         # subprocess: the CPU-mesh flag must be set before JAX initializes,
         # and this process already holds the axon TPU backend
@@ -477,15 +528,12 @@ def run_benchmark(tile: int = 512, batch_size: int = 24, steps: int = 24,
         out = subprocess.run(
             [sys.executable, "-m", "unet_tpu.bench_scaling"],
             capture_output=True, text=True, timeout=1200,
-            env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
         )
         scaling_res = json.loads(out.stdout.strip().splitlines()[-1])
     except Exception as e:
         scaling_res = {"error": str(e)[:120]}
-    try:
-        pallas_res = bench_pallas_probe(tile=tile)
-    except Exception as e:
-        pallas_res = {"error": str(e)[:120]}
+    pallas_res = _bench_section("bench_pallas_probe", dict(tile=tile), budget)
     detail = {
         "train": {k: (round(v, 4) if isinstance(v, float) else v)
                   for k, v in train_res.items()},
@@ -500,11 +548,8 @@ def run_benchmark(tile: int = 512, batch_size: int = 24, steps: int = 24,
         "baseline_note": "vs A100-estimate 100 tiles/s (see docstring); target >= 2.0",
     }
     print(json.dumps(detail), file=sys.stderr)
-    result = {
-        "metric": "train_tiles_per_sec_per_chip_512",
-        "value": round(value, 3),
-        "unit": "tiles/s/chip",
-        "vs_baseline": round(value / A100_BASELINE_TILES_PER_SEC, 3),
-    }
-    print(json.dumps(result))
+    # the headline again as the FINAL stdout line: parsers that take the
+    # last JSON line and parsers that take the first both get the metric,
+    # and the early print above already saved it if a section stalled
+    print(json.dumps(result), flush=True)
     return result
