@@ -218,3 +218,14 @@ class TestInvariants:
         # (geo/tiff.py byte-imagery change); every tile PIL-cross-checked at
         # the re-pin
         assert h.hexdigest() == "b7353b8b0bfa4820115114c6f036b8adcfc601135db46996fbecd7b32b33121b"
+        # Self-validating pin: independently decode one 3-band tile with PIL
+        # and assert photometric interpretation + pixel equality, so a silent
+        # writer regression can't be baked into a future hash re-pin.
+        from PIL import Image
+        from unet_tpu.geo import read_raster
+        tile = sorted((base / "trai" / "img_tiles").glob("*.tif"))[0]
+        with Image.open(tile) as im:
+            assert im.mode == "RGB", im.mode  # photometric=RGB honored by PIL
+            pil_arr = np.moveaxis(np.asarray(im), 2, 0)
+        ours = read_raster(tile).data
+        np.testing.assert_array_equal(pil_arr, ours)

@@ -86,9 +86,9 @@ def blend_tiles(mosaic: jax.Array, tiles: jax.Array, rows: jax.Array,
         in_specs=[
             pl.BlockSpec((1, th, tw, c), lambda i, *_: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((th, tw, c), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
@@ -334,9 +334,9 @@ def _shift_run(mosaic2, tiles_folded, rows0_d, rshift_d, lanes0_d, shifts_d,
         in_specs=[
             pl.BlockSpec((1, rb, twc), lambda i, j, *_: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((rb + 8, twc + 128), jnp.float32),
             pltpu.SemaphoreType.DMA(()),

@@ -145,7 +145,7 @@ def _probe_scalar_prefetch_dma() -> Optional[bool]:
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(1,),
-            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
             out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32),
                             pltpu.SemaphoreType.DMA(())],
