@@ -139,6 +139,43 @@ class TestOneBatchClassWeights:
         # all classes present and < 1200 tiles → same numbers, same order
         np.testing.assert_allclose(quirky, clean, rtol=1e-12)
 
+    def test_quirk_matches_fastai_sampler_simulation(self, tmp_path):
+        """VERDICT r3 #9: quirks mode must replicate the reference sampler,
+        not merely its failure shape. fastai's TfmdDL.shuffle_fn is legacy
+        np.random.permutation (MT19937); the sampled batch is the first bs
+        indices of that permutation over the (sorted) training tiles, and
+        weights are total/counts over np.unique of that one batch
+        (utils.py:109-116). Fixture: the rare class lives only in tiles the
+        sampled batch misses, so the vector comes out short."""
+        from unet_tpu.geo import read_raster
+
+        base = tmp_path / "ds"
+        mask_dir = base / "trai" / "mask_tiles"
+        mask_dir.mkdir(parents=True)
+        n, bs, seed = 8, 4, 7
+        sampled = set(np.random.RandomState(seed).permutation(n)[:bs])
+        rng = np.random.default_rng(3)
+        for i in range(n):
+            m = rng.choice([0, 2], size=(1, 8, 8)).astype(np.uint8)
+            if i not in sampled:
+                m[0, 0, 0] = 1  # rare class only where the batch can't see it
+            write_raster(mask_dir / f"t_{i}.tif", m)
+
+        # independent fastai simulation (test-local, not the library code)
+        files = sorted(mask_dir.glob("*.tif"))
+        np.random.seed(seed)
+        batch_idx = np.random.permutation(len(files))[:bs]
+        batch = np.concatenate(
+            [read_raster(files[i]).data.astype(np.int64).ravel() for i in batch_idx])
+        uniq, counts = np.unique(batch, return_counts=True)
+        expected = [float(counts.sum() / c) for c in counts]
+        assert list(uniq) == [0, 2]  # class 1 absent from the sampled batch
+
+        quirky = compute_class_weights(base, 3, max_tiles=bs,
+                                       reference_quirks=True, seed=seed)
+        assert quirky == expected  # exact, not approximate
+        assert len(quirky) == 2  # short vector, misaligned with codes
+
 
 class TestAugmentQuirks:
     """already covered in round 1; keep the off-by-one pinned here too"""

@@ -33,12 +33,16 @@ def compute_class_weights(data_path: Path, n_classes: int, max_tiles: int = MAX_
     if not files:
         raise FileNotFoundError(f"No mask tiles under {mask_dir}")
     if reference_quirks:
-        # the reference samples ONE shuffled dataloader batch of
-        # bs=min(#tiles, 1200) (utils.py:109-116) and builds the weight
-        # vector from np.unique of that sample — classes absent from the
-        # sample silently drop out, misaligning weights with codes
-        rng = np.random.default_rng(seed)
-        sample = rng.permutation(len(files))[:max_tiles]
+        # Replicate the reference sampler exactly (utils.py:106-117): fastai
+        # builds a dataloader with bs=min(#tiles, 1200) and takes ONE
+        # shuffled train batch; fastai's TfmdDL.shuffle_fn is the legacy
+        # ``np.random.permutation`` (MT19937), so the sampled tile subset is
+        # the first bs indices of that permutation over the training items.
+        # Weights come from ``np.unique(batch, return_counts=True)`` —
+        # classes absent from the sampled batch silently drop out,
+        # misaligning the weight vector with codes (the reference bug this
+        # quirks mode preserves bit-for-bit).
+        sample = np.random.RandomState(seed).permutation(len(files))[:max_tiles]
         values = np.concatenate(
             [read_raster(files[i]).data.astype(np.int64).ravel() for i in sample])
         uniq, counts = np.unique(values, return_counts=True)

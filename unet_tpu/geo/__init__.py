@@ -8,3 +8,4 @@ from .raster import (  # noqa: F401
     write_raster,
 )
 from . import tiff  # noqa: F401
+from .tiff import CRS  # noqa: F401

@@ -109,7 +109,54 @@ GK_MODEL_TYPE = 1024
 GK_RASTER_TYPE = 1025
 GK_CITATION = 1026
 GK_GEOGRAPHIC_TYPE = 2048
+GK_GEOG_CITATION = 2049
+GK_GEOG_ANGULAR_UNITS = 2054
 GK_PROJECTED_CS_TYPE = 3072
+GK_PCS_CITATION = 3073
+GK_PROJ_LINEAR_UNITS = 3076
+GK_USER_DEFINED = 32767  # sentinel value: "user-defined", not an EPSG code
+
+# GeoTIFF model types (GTModelTypeGeoKey values)
+MODEL_TYPE_PROJECTED = 1
+MODEL_TYPE_GEOGRAPHIC = 2
+
+# EPSG unit codes
+UNIT_METRE = 9001
+UNIT_DEGREE = 9102
+
+
+class CRS(str):
+    """A CRS label (``"EPSG:xxxx"`` or citation text) that also carries the
+    complete GeoTIFF GeoKey set, so arbitrary — including non-EPSG,
+    fully-parameterized — coordinate reference systems survive
+    read → tile → train → predict → merge losslessly.
+
+    Behaves as a plain ``str`` everywhere (equality, hashing, JSON); the
+    writer recognises the attached ``geokeys`` mapping (GeoKey id →
+    SHORT int | double | list-of-doubles | ascii str) and re-emits the full
+    directory verbatim instead of synthesizing a minimal one. This is the
+    TPU-native equivalent of the reference round-tripping full GDAL WKT via
+    ``GetProjection()``/``SetProjection()`` (reference predict.py:29-52,
+    create_tiles_unet.py:289).
+    """
+
+    def __new__(cls, label: str, geokeys: Optional[Dict[int, object]] = None):
+        self = super().__new__(cls, label)
+        self.geokeys = dict(geokeys or {})
+        return self
+
+    def __reduce__(self):  # keep geokeys across pickle/copy
+        return (self.__class__, (str(self), self.geokeys))
+
+
+def _epsg_is_geographic(code: int) -> bool:
+    """Classify an EPSG code as geographic (2D lat/lon) vs projected.
+
+    Geographic CRS live in the 4000–4999 EPSG block (4326 WGS84, 4258 ETRS89,
+    4269 NAD83, …); everything else the pipeline encounters is projected
+    (25832/32632 UTM, 3857 WebMercator, 2154 Lambert-93, 5070 Albers, …).
+    """
+    return 4000 <= code <= 4999
 
 # sample-format codes
 SF_UINT = 1
@@ -492,28 +539,55 @@ def _parse_info_fh(f, ifd_index: int = 0) -> TiffInfo:
     )
 
 
-def _parse_geokeys(tags: Dict[int, object]) -> Optional[str]:
-    """Reconstruct a CRS string from the GeoKeyDirectory."""
+def _parse_geokeys(tags: Dict[int, object]) -> Optional["CRS"]:
+    """Parse the complete GeoKey set (SHORT / double / ascii params) into a
+    :class:`CRS` — a str label ("EPSG:xxxx" or citation) carrying every key
+    so the writer can re-emit the directory losslessly."""
     gkd = tags.get(TAG_GEO_KEY_DIRECTORY)
     if gkd is None:
         return None
-    gkd = list(gkd)
+    gkd = list(gkd) if isinstance(gkd, (list, tuple)) else [gkd]
+    if len(gkd) < 4:
+        return None
     ascii_params = tags.get(TAG_GEO_ASCII_PARAMS, "")
-    n_keys = gkd[3]
-    keys = {}
+    doubles = tags.get(TAG_GEO_DOUBLE_PARAMS, [])
+    if isinstance(doubles, (int, float)):
+        doubles = [doubles]
+    n_keys = int(gkd[3])
+    keys: Dict[int, object] = {}
     for i in range(n_keys):
-        key_id, loc, count, value = gkd[4 + 4 * i : 8 + 4 * i]
+        ent = gkd[4 + 4 * i : 8 + 4 * i]
+        if len(ent) < 4:
+            break
+        key_id, loc, count, value = (int(v) for v in ent)
         if loc == 0:
             keys[key_id] = value
         elif loc == TAG_GEO_ASCII_PARAMS:
-            keys[key_id] = ascii_params[value : value + count].rstrip("|")
-    if GK_PROJECTED_CS_TYPE in keys and isinstance(keys[GK_PROJECTED_CS_TYPE], int):
-        return f"EPSG:{keys[GK_PROJECTED_CS_TYPE]}"
-    if GK_GEOGRAPHIC_TYPE in keys and isinstance(keys[GK_GEOGRAPHIC_TYPE], int):
-        return f"EPSG:{keys[GK_GEOGRAPHIC_TYPE]}"
-    if GK_CITATION in keys:
-        return str(keys[GK_CITATION])
-    return None
+            keys[key_id] = str(ascii_params)[value : value + count].rstrip("|\x00")
+        elif loc == TAG_GEO_DOUBLE_PARAMS:
+            vals = [float(v) for v in doubles[value : value + count]]
+            keys[key_id] = vals[0] if len(vals) == 1 else vals
+        elif loc == TAG_GEO_KEY_DIRECTORY:
+            # SHORT arrays stored in the tail of the directory itself
+            vals = [int(v) for v in gkd[value : value + count]]
+            keys[key_id] = vals[0] if len(vals) == 1 else vals
+    if not keys:
+        return None
+
+    def _epsg_label(key_id: int) -> Optional[str]:
+        v = keys.get(key_id)
+        if isinstance(v, int) and 0 < v < GK_USER_DEFINED:
+            return f"EPSG:{v}"
+        return None
+
+    label = (
+        _epsg_label(GK_PROJECTED_CS_TYPE)
+        or _epsg_label(GK_GEOGRAPHIC_TYPE)
+        or next((str(keys[k]) for k in (GK_CITATION, GK_PCS_CITATION, GK_GEOG_CITATION)
+                 if isinstance(keys.get(k), str) and keys[k]), None)
+        or "user-defined"
+    )
+    return CRS(label, keys)
 
 
 def _transform_from_tags(tags: Dict[int, object]) -> Optional[GeoTransform]:
@@ -839,23 +913,61 @@ def _common_entries(
             entries.append((TAG_MODEL_TRANSFORMATION, TYPE_DOUBLE, mt))
 
     geo_ascii = ""
+    geo_doubles: List[float] = []
     geokeys: List[Tuple[int, int, int, int]] = []
-    epsg = _epsg_code(crs)
-    if crs is not None:
-        geokeys.append((GK_MODEL_TYPE, 0, 1, 1 if (epsg is None or epsg >= 2000) else 2))
-        geokeys.append((GK_RASTER_TYPE, 0, 1, 1))
-        if epsg is not None:
-            key = GK_GEOGRAPHIC_TYPE if epsg < 2000 else GK_PROJECTED_CS_TYPE
-            geokeys.append((key, 0, 1, epsg))
+
+    def _add_key(kid: int, val: object) -> None:
+        nonlocal geo_ascii
+        if isinstance(val, str):
+            s = val if val.endswith("|") else val + "|"
+            geokeys.append((kid, TAG_GEO_ASCII_PARAMS, len(s), len(geo_ascii)))
+            geo_ascii += s
+        elif isinstance(val, float) or isinstance(val, (list, tuple)):
+            vals = [float(v) for v in (val if isinstance(val, (list, tuple)) else [val])]
+            geokeys.append((kid, TAG_GEO_DOUBLE_PARAMS, len(vals), len(geo_doubles)))
+            geo_doubles.extend(vals)
         else:
-            citation = str(crs) + "|"
-            geokeys.append((GK_CITATION, TAG_GEO_ASCII_PARAMS, len(citation), len(geo_ascii)))
-            geo_ascii += citation
+            geokeys.append((kid, 0, 1, int(val)))
+
+    if crs is not None:
+        full_keys = getattr(crs, "geokeys", None)
+        epsg = _epsg_code(crs)
+        if full_keys:
+            # Lossless re-emission of a parsed GeoKey set (CRS round-trip,
+            # incl. non-EPSG parameterized CRS — datum/ellipsoid/projection
+            # parameter keys survive intact). Reference equivalent: GDAL
+            # SetProjection(WKT) in predict.py:29-52.
+            for kid in sorted(full_keys):
+                _add_key(kid, full_keys[kid])
+        elif epsg is not None:
+            # Synthesize a spec-conformant minimal key set from the EPSG
+            # code. Geographic codes (4000-4999, e.g. 4326) MUST go in
+            # GeographicTypeGeoKey with GTModelType=Geographic; projected
+            # codes in ProjectedCSTypeGeoKey with GTModelType=Projected.
+            if _epsg_is_geographic(epsg):
+                _add_key(GK_MODEL_TYPE, MODEL_TYPE_GEOGRAPHIC)
+                _add_key(GK_RASTER_TYPE, 1)
+                _add_key(GK_GEOGRAPHIC_TYPE, epsg)
+                _add_key(GK_GEOG_CITATION, f"EPSG:{epsg}")
+                _add_key(GK_GEOG_ANGULAR_UNITS, UNIT_DEGREE)
+            else:
+                _add_key(GK_MODEL_TYPE, MODEL_TYPE_PROJECTED)
+                _add_key(GK_RASTER_TYPE, 1)
+                _add_key(GK_PROJECTED_CS_TYPE, epsg)
+                _add_key(GK_CITATION, f"EPSG:{epsg}")
+                _add_key(GK_PROJ_LINEAR_UNITS, UNIT_METRE)
+        else:
+            # Free-text CRS: model type is unknowable → user-defined + citation.
+            _add_key(GK_MODEL_TYPE, GK_USER_DEFINED)
+            _add_key(GK_RASTER_TYPE, 1)
+            _add_key(GK_CITATION, str(crs))
     if geokeys:
         gkd = [1, 1, 0, len(geokeys)]
         for k in sorted(geokeys):
             gkd.extend(k)
         entries.append((TAG_GEO_KEY_DIRECTORY, TYPE_SHORT, gkd))
+        if geo_doubles:
+            entries.append((TAG_GEO_DOUBLE_PARAMS, TYPE_DOUBLE, geo_doubles))
         if geo_ascii:
             entries.append((TAG_GEO_ASCII_PARAMS, TYPE_ASCII, [geo_ascii]))
     if nodata is not None:
