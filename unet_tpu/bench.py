@@ -444,6 +444,13 @@ def _bench_section(fn_name: str, kwargs: dict, timeout_s: int,
     code = (
         "import json, sys\n"
         "sys.path.insert(0, '.')\n"
+        # children must join the persistent compile cache explicitly: the
+        # parent's jax.config setting does not propagate, and a cold-compiling
+        # section is exactly the stall this subprocess scheme guards against
+        # (the parent also exports JAX_COMPILATION_CACHE_DIR — this call makes
+        # the section self-sufficient when run standalone too)
+        "from unet_tpu.utils.compile_cache import enable_compile_cache\n"
+        "enable_compile_cache()\n"
         f"from unet_tpu.bench import {fn_name}\n"
         f"print('\\n' + json.dumps({fn_name}(**{kwargs!r})))\n"
     )
@@ -476,28 +483,57 @@ def run_benchmark(tile: int = 512, batch_size: int = 24, steps: int = 24,
     topology, predict, loader, e2e, scaling, pallas) each run in a
     timeout-guarded subprocess afterwards and only feed the stderr detail
     line — a compile-service stall in any of them can no longer starve the
-    driver of the metric."""
+    driver of the metric.
+
+    Two structural rules (VERDICT r3 weak #2, ADVICE r3):
+
+    * Everything that touches the TPU runs in a SUBPROCESS, including the
+      headline — this orchestrating process never initializes the axon
+      backend, so there is no possibility of the parent's backend handle
+      blocking a child's bring-up, and a wedged child is killable.
+    * A GLOBAL wall-clock budget (``UNET_TPU_BENCH_BUDGET`` seconds,
+      default 1500) bounds the whole run. Each section gets
+      ``min(per-section timeout, remaining budget)``; once the budget is
+      spent the remaining sections are skipped with an explicit marker and
+      the bench exits 0 with the headline as the final stdout line —
+      rc=124 from the driver is a bug, not weather.
+    """
     import os
     import sys
 
+    t_start = time.monotonic()
+    budget_total = float(os.environ.get("UNET_TPU_BENCH_BUDGET", "1500"))
+    section_cap = int(os.environ.get("UNET_TPU_BENCH_SECTION_TIMEOUT", "900"))
+
+    def remaining() -> float:
+        return budget_total - (time.monotonic() - t_start)
+
     # Persistent XLA cache: the remote axon compile service has shown
     # multi-minute stalls on cold compiles (round-3 session 6: the same
-    # bs24 program took >570 s once, 98 s on retry). Caching the compiled
-    # executables makes every re-run — including the driver's end-of-round
-    # bench in the same container — immune to compile-service weather.
+    # bs24 program took >570 s once, 98 s on retry). enable_compile_cache
+    # also exports JAX_COMPILATION_CACHE_DIR so every section subprocess
+    # joins the same cache.
     from .utils.compile_cache import enable_compile_cache
 
     enable_compile_cache()
 
+    # Headline (tpu_opt training) in a subprocess with batch-size fallback.
+    # Gets the lion's share of the budget — a cold compile through the
+    # tunnel has cost >570 s — but always leaves a slice for the detail
+    # sections, which are cache hits when the headline got through.
     train_res = None
     for bs in (batch_size, batch_size // 2, max(batch_size // 4, 1)):
-        try:
-            train_res = bench_train(tile=tile, batch_size=bs, steps=steps)
+        t_budget = int(max(min(section_cap, remaining() - 120), 60))
+        train_res = _bench_section(
+            "bench_train", dict(tile=tile, batch_size=bs, steps=steps),
+            t_budget)
+        if "error" not in train_res:
             break
-        except Exception as e:  # HBM OOM → retry smaller
-            print(f"train bench failed at bs={bs}: {e}", file=sys.stderr)
-    if train_res is None:
-        raise RuntimeError("training benchmark failed at all batch sizes")
+        print(f"train bench failed at bs={bs}: {train_res['error']}",
+              file=sys.stderr, flush=True)
+    if "error" in train_res:
+        raise RuntimeError("training benchmark failed at all batch sizes: "
+                           + str(train_res["error"]))
     value = train_res["tiles_per_sec_per_chip"]
     result = {
         "metric": "train_tiles_per_sec_per_chip_512",
@@ -507,47 +543,58 @@ def run_benchmark(tile: int = 512, batch_size: int = 24, steps: int = 24,
     }
     print(json.dumps(result), flush=True)
 
-    budget = int(os.environ.get("UNET_TPU_BENCH_SECTION_TIMEOUT", "900"))
-    parity_res = _bench_section(
-        "bench_train",
-        dict(tile=tile, batch_size=min(parity_batch, train_res["batch_size"]),
-             steps=steps, tpu_opt=False), budget)
-    pred_res = _bench_section(
-        "bench_predict", dict(tile=tile, batch_size=predict_batch,
-                              steps=steps), budget)
-    loader_res = _bench_section("bench_loader", {}, budget, round_floats=1)
-    e2e_res = _bench_section(
-        "bench_e2e_train",
-        dict(tile=tile, batch_size=min(16, train_res["batch_size"])),
-        budget, round_floats=2)
-    try:
-        # subprocess: the CPU-mesh flag must be set before JAX initializes,
-        # and this process already holds the axon TPU backend
-        import subprocess
-
-        out = subprocess.run(
-            [sys.executable, "-m", "unet_tpu.bench_scaling"],
-            capture_output=True, text=True, timeout=1200,
-            env={**os.environ, "JAX_PLATFORMS": "cpu"},
-        )
-        scaling_res = json.loads(out.stdout.strip().splitlines()[-1])
-    except Exception as e:
-        scaling_res = {"error": str(e)[:120]}
-    pallas_res = _bench_section("bench_pallas_probe", dict(tile=tile), budget)
     detail = {
-        "train": {k: (round(v, 4) if isinstance(v, float) else v)
-                  for k, v in train_res.items()},
-        "train_parity_topology": {k: (round(v, 4) if isinstance(v, float) else v)
-                                  for k, v in parity_res.items()},
-        "predict": {k: (round(v, 4) if isinstance(v, float) else v)
-                    for k, v in pred_res.items()},
-        "loader": loader_res,
-        "e2e_train": e2e_res,
-        "scaling": scaling_res,
-        "pallas": pallas_res,
+        "train": train_res,
         "baseline_note": "vs A100-estimate 100 tiles/s (see docstring); target >= 2.0",
+        "budget": {"total_s": budget_total, "section_cap_s": section_cap},
     }
-    print(json.dumps(detail), file=sys.stderr)
+
+    def _run_section(name: str, fn_name: str, kwargs: dict,
+                     round_floats: int = 4, env: Optional[dict] = None,
+                     module: Optional[str] = None) -> None:
+        """One detail section under the global budget, flushed incrementally
+        to stderr as it completes (a later kill loses nothing)."""
+        left = remaining()
+        if left < 90:
+            detail[name] = {"error": "skipped: bench budget exhausted"}
+        elif module is not None:
+            import subprocess
+
+            try:
+                child_env = {**os.environ, **(env or {})}
+                child_env = {k: v for k, v in child_env.items() if v != ""}
+                out = subprocess.run(
+                    [sys.executable, "-m", module], capture_output=True,
+                    text=True, timeout=min(section_cap, left - 30),
+                    env=child_env)
+                detail[name] = json.loads(out.stdout.strip().splitlines()[-1])
+            except Exception as e:
+                detail[name] = {"error": str(e)[:120]}
+        else:
+            detail[name] = _bench_section(
+                fn_name, kwargs, int(min(section_cap, left - 30)),
+                round_floats=round_floats)
+        print(json.dumps({"section": name, **detail[name]}),
+              file=sys.stderr, flush=True)
+
+    _run_section("train_parity_topology", "bench_train",
+                 dict(tile=tile, batch_size=min(parity_batch, train_res["batch_size"]),
+                      steps=steps, tpu_opt=False))
+    _run_section("predict", "bench_predict",
+                 dict(tile=tile, batch_size=predict_batch, steps=steps))
+    _run_section("loader", "bench_loader", {}, round_floats=1)
+    _run_section("e2e_train", "bench_e2e_train",
+                 dict(tile=tile, batch_size=min(16, train_res["batch_size"])),
+                 round_floats=2)
+    # scaling: CPU-mesh flag must be set before JAX initializes → module
+    # subprocess on the CPU platform (no cache: XLA:CPU AOT reload is the
+    # one documented-risky cache client, compile_cache.py)
+    _run_section("scaling", "", {}, module="unet_tpu.bench_scaling",
+                 env={"JAX_PLATFORMS": "cpu", "UNET_TPU_COMPILE_CACHE": "off",
+                      "JAX_COMPILATION_CACHE_DIR": ""})
+    _run_section("pallas", "bench_pallas_probe", dict(tile=tile))
+
+    print(json.dumps(detail), file=sys.stderr, flush=True)
     # the headline again as the FINAL stdout line: parsers that take the
     # last JSON line and parsers that take the first both get the metric,
     # and the early print above already saved it if a section stalled

@@ -61,6 +61,11 @@ def enable_compile_cache(cache_dir: Optional[str] = None) -> Optional[str]:
         jax.config.update("jax_compilation_cache_dir", target)
         # default min_compile_time (1s) skips tiny programs — keep it; the
         # big train/predict steps are the ones worth persisting
+        # Subprocesses (bench detail sections, multiprocess loaders) must
+        # share the cache too: JAX reads this env var at config init, so
+        # exporting it makes every child a cache client without needing to
+        # call this function before its first jit.
+        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", target)
     except Exception as e:  # unwritable dir, exotic backend — never fatal
         print(f"compile cache disabled ({e})")
         _ENABLED = ""
