@@ -568,7 +568,31 @@ class Trainer:
             drain()
         losses = losses[:num_it]
         self._lr_find_curve = (lrs[: len(losses)], losses)
+        # all four suggesters (utils.py:150-167) so the persisted curve can
+        # carry every marker, whichever one drives the run
+        self._lr_find_suggestions = {
+            m: suggest_lr(lrs[: len(losses)], losses, m)
+            for m in ("minimum", "steep", "valley", "slide")
+        }
         return suggest_lr(lrs[: len(losses)], losses, method)
+
+    def save_lr_find(self, bundle_dir: Path) -> None:
+        """Persist the last lr_find sweep next to the history CSV: a
+        ``<desc>_lr_find.csv`` (lr,loss) and ``<desc>_lr_find.png`` with the
+        four suggester markers (fastai renders this for free at
+        utils.py:150-167; we write it explicitly)."""
+        curve = getattr(self, "_lr_find_curve", None)
+        if not curve:
+            return
+        lrs, losses = curve
+        desc = self.cfg.description
+        lines = ["lr,loss"] + [
+            f"{float(lr)!r},{float(ls)!r}" for lr, ls in zip(lrs, losses)]
+        (bundle_dir / f"{desc}_lr_find.csv").write_text("\n".join(lines) + "\n")
+        from ..utils.plots import plot_lr_find
+
+        plot_lr_find(lrs, losses, getattr(self, "_lr_find_suggestions", {}),
+                     bundle_dir / f"{desc}_lr_find.png")
 
     # --- orbax resume ------------------------------------------------------------------
 
@@ -657,6 +681,7 @@ class Trainer:
             (bundle_dir / f"{cfg.description}_history.csv").write_text("\n".join(lines) + "\n")
         if self.timer.samples:
             (bundle_dir / f"{cfg.description}_profile.txt").write_text(self.timer.report() + "\n")
+        self.save_lr_find(bundle_dir)
         return bundle_dir
 
 

@@ -68,6 +68,45 @@ def visualize_data(inputs: np.ndarray, model_path) -> Path:
     return out
 
 
+def plot_lr_find(
+    lrs: Sequence[float], losses: Sequence[float], suggestions: dict, out_path
+) -> Path:
+    """Loss-vs-LR curve of an LR-finder sweep with suggester markers.
+
+    The reference gets this figure for free from fastai's
+    ``learn.lr_find(...)`` (utils.py:150-167 picks the suggester; fastai
+    renders the plot). We persist the same information: raw + smoothed loss
+    on a log-x LR axis, one marker per suggester at its suggested LR.
+    """
+    from ..train.schedule import _smooth
+
+    lrs = np.asarray(lrs, dtype=np.float64)
+    losses = np.asarray(losses, dtype=np.float64)
+    smoothed = _smooth(losses)
+    plt.figure(figsize=(7, 5))
+    plt.plot(lrs, losses, color="#bbbbbb", lw=0.8, label="loss")
+    plt.plot(lrs, smoothed, color="#1f77b4", lw=1.6, label="smoothed loss")
+    markers = {"minimum": "o", "steep": "s", "valley": "^", "slide": "D"}
+    for name, lr in suggestions.items():
+        # marker y: smoothed loss at the sweep point nearest the suggestion
+        idx = int(np.argmin(np.abs(np.log(lrs) - np.log(max(lr, 1e-12)))))
+        plt.plot([lr], [smoothed[idx]], markers.get(name, "x"), ms=8,
+                 label=f"{name}: {lr:.2e}")
+    plt.xscale("log")
+    plt.xlabel("Learning rate")
+    plt.ylabel("Loss")
+    # divergence blows the y-range; clamp to the informative region
+    finite = smoothed[np.isfinite(smoothed)]
+    if finite.size:
+        plt.ylim(float(finite.min()) * 0.9 - 1e-6, float(np.median(finite)) * 3 + 1e-6)
+    plt.title("LR finder")
+    plt.legend(fontsize=8)
+    out = Path(str(out_path))
+    plt.savefig(out, dpi=150, bbox_inches="tight")
+    plt.close()
+    return out
+
+
 def plot_training_overview(
     history: List[dict], monitor: str, out_path
 ) -> Path:
