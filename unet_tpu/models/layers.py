@@ -90,17 +90,82 @@ class FusedStatsBatchNorm(nn.Module):
         return y * mul + bias.astype(d)
 
 
+class PallasStatsBatchNorm(nn.Module):
+    """Drop-in nn.BatchNorm whose training statistics and backward
+    reductions come from the hand-written single-HBM-pass Pallas kernels
+    (ops/pallas_bn.py) instead of XLA reduce pairs.
+
+    Same param/stat names as nn.BatchNorm (scale/bias, mean/var) so bundles
+    stay loadable across the switch; forward numerics follow flax's
+    fast-variance path to bf16 rounding (equivalence pinned in
+    tests/test_pallas_bn.py). Selected via ``UNET_TPU_BN=pallas``; subject
+    to the same real-chip A/B contract as every kernel (ops/probe.py).
+    Falls back to flax per-site when the (N, C) view doesn't block cleanly.
+    """
+
+    use_running_average: bool
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    scale_init: Callable = nn.initializers.ones
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        from ..ops import pallas_bn
+
+        c = x.shape[-1]
+        scale = self.param("scale", self.scale_init, (c,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        use_pallas = pallas_bn.supported(x.size // c, c)
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        elif use_pallas:
+            interpret = jax.devices()[0].platform in ("cpu", "gpu")
+            y, mean, var = pallas_bn.batch_norm_train(
+                x, scale, bias, self.epsilon, self.dtype, interpret)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+            return y
+        else:  # ragged shapes: flax's exact computation, same param tree
+            x32 = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(x32, axis=axes)
+            var = jnp.maximum(
+                jnp.mean(x32 * x32, axis=axes) - mean * mean, 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        d = self.dtype
+        mul = jax.lax.rsqrt(var.astype(d) + jnp.asarray(self.epsilon, d))
+        return (x.astype(d) - mean.astype(d)) * (mul * scale.astype(d)) \
+            + bias.astype(d)
+
+
 def batch_norm(train: bool, momentum: float = 0.9, epsilon: float = 1e-5,
                dtype: Dtype = jnp.bfloat16,
                scale_init: Callable = nn.initializers.ones,
                name: str = "bn"):
     """BatchNorm factory: flax's implementation by default,
-    FusedStatsBatchNorm under ``UNET_TPU_BN=fused`` (parameter trees are
-    identical either way, so bundles stay loadable across the switch)."""
+    FusedStatsBatchNorm under ``UNET_TPU_BN=fused`` or the Pallas
+    single-pass kernels under ``UNET_TPU_BN=pallas`` (parameter trees are
+    identical in every case, so bundles stay loadable across the switch)."""
     import os
 
-    if os.environ.get("UNET_TPU_BN") == "fused":
+    variant = os.environ.get("UNET_TPU_BN")
+    if variant == "fused":
         return FusedStatsBatchNorm(
+            use_running_average=not train, momentum=momentum,
+            epsilon=epsilon, dtype=dtype, scale_init=scale_init, name=name)
+    if variant == "pallas":
+        return PallasStatsBatchNorm(
             use_running_average=not train, momentum=momentum,
             epsilon=epsilon, dtype=dtype, scale_init=scale_init, name=name)
     return nn.BatchNorm(
