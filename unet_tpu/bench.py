@@ -421,6 +421,50 @@ def bench_pallas_probe(tile: int = 512) -> dict:
         except Exception as e:
             probe.record_kernel_ab("blend", float("inf"), 0.0)
             print(f"blend A/B failed: {e}", file=__import__("sys").stderr)
+
+        # single-pass BN-stat kernel vs XLA's fused reduce pair, at the
+        # flagship's dominant BN shape (24 × 128² × 128 bf16). Step-level
+        # verdict (round 4): UNET_TPU_BN=pallas loses 111.7 vs 95.6 ms —
+        # XLA fuses the stat reduces into the producer conv's epilogue,
+        # which an out-of-line kernel forfeits (BENCH_NOTES round-4).
+        from .ops.pallas_bn import sum_and_sumsq
+
+        x2d = jnp.asarray(
+            rng.normal(size=(24 * 128 * 128, 128)).astype(np.float32),
+            jnp.bfloat16)
+
+        def _stats_ms(use_pallas, K=50):
+            @jax.jit
+            def run(x):
+                def body(acc, _):
+                    if use_pallas:
+                        s = sum_and_sumsq(x + acc)
+                    else:
+                        xs = (x + acc).astype(jnp.float32)
+                        s = jnp.stack([jnp.sum(xs, axis=0),
+                                       jnp.sum(xs * xs, axis=0)])
+                    # real data dependency: the next iteration's input
+                    # derives from this one's result, so the body can't be
+                    # hoisted as loop-invariant
+                    return (s[0, 0] * 1e-9).astype(jnp.bfloat16), s
+                _, ss = jax.lax.scan(body, jnp.bfloat16(0), None, length=K)
+                return ss.ravel()[0]
+
+            r = run(x2d)
+            _sync(r)
+            lat = _fetch_latency(r)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _sync(run(x2d))
+                best = min(best, (time.perf_counter() - t0 - lat) / K * 1e3)
+            return best
+
+        try:
+            probe.record_kernel_ab("bn_stats", _stats_ms(True), _stats_ms(False))
+        except Exception as e:
+            probe.record_kernel_ab("bn_stats", float("inf"), 0.0)
+            print(f"bn_stats A/B failed: {e}", file=__import__("sys").stderr)
     return probe.describe()
 
 
