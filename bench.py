@@ -45,9 +45,18 @@ if __name__ == "__main__":
             "unit": "tiles/s/chip", "vs_baseline": 0,
             "error": f"TPU backend unreachable (device bring-up exceeded "
                      f"{PROBE_TIMEOUT_S}s — axon tunnel down?); last "
-                     "recorded real-chip number: 248.7 (BENCH_NOTES.md)",
+                     "recorded real-chip number: 253.2 (BENCH_NOTES.md)",
         }))
         sys.exit(1)
     from unet_tpu.bench import run_benchmark
 
-    run_benchmark()
+    try:
+        run_benchmark()
+    except Exception as e:  # mid-run outage (canary exhausted the budget)
+        print(json.dumps({
+            "metric": "train_tiles_per_sec_per_chip_512", "value": 0,
+            "unit": "tiles/s/chip", "vs_baseline": 0,
+            "error": str(e)[:200] + " — last recorded real-chip number: "
+                     "253.2 (BENCH_NOTES.md)",
+        }))
+        sys.exit(1)

@@ -486,8 +486,14 @@ def _bench_section(fn_name: str, kwargs: dict, timeout_s: int,
     from pathlib import Path
 
     code = (
-        "import json, sys\n"
+        "import json, os, sys\n"
         "sys.path.insert(0, '.')\n"
+        # CPU-pinned runs (CI / simulation) must drop the axon backend
+        # factory before first device access — a down TPU tunnel otherwise
+        # blocks even JAX_PLATFORMS=cpu processes (utils/platform.py)
+        "if os.environ.get('JAX_PLATFORMS', '') == 'cpu':\n"
+        "    from unet_tpu.utils.platform import force_cpu_backend\n"
+        "    force_cpu_backend()\n"
         # children must join the persistent compile cache explicitly: the
         # parent's jax.config setting does not propagate, and a cold-compiling
         # section is exactly the stall this subprocess scheme guards against
@@ -561,12 +567,55 @@ def run_benchmark(tile: int = 512, batch_size: int = 24, steps: int = 24,
 
     enable_compile_cache()
 
+    # Canary before the expensive headline: the axon tunnel has been
+    # observed to wedge at BACKEND BRING-UP (2026-08-19: a trivial jit
+    # matmul hung >180 s while the compile cache was warm) — in that state
+    # the old bs-fallback ladder burned the whole budget re-timing-out on
+    # programs that never reached the device. A 120 s tiny-matmul
+    # subprocess tells "tunnel down" apart from "program failed": on
+    # canary failure we retry the CANARY (stalls have cleared on retry
+    # before — round-3 session 6), not a smaller batch.
+    def _tpu_canary(timeout_s: int = 120) -> bool:
+        import subprocess
+
+        code = ("import os, sys\n"
+                "sys.path.insert(0, '.')\n"
+                # CPU-pinned runs (CI / simulation) must not be blocked by a
+                # down axon tunnel — mirror the conftest factory drop. On
+                # the real profile (JAX_PLATFORMS unset/axon) the factory
+                # stays: probing the tunnel is the whole point.
+                "if os.environ.get('JAX_PLATFORMS', '') == 'cpu':\n"
+                "    from unet_tpu.utils.platform import force_cpu_backend\n"
+                "    force_cpu_backend()\n"
+                "import jax, jax.numpy as jnp\n"
+                "x = jnp.ones((128, 128))\n"
+                "print(float((x @ x).sum()))\n")
+        from pathlib import Path
+
+        try:
+            return subprocess.run(
+                [sys.executable, "-c", code], capture_output=True,
+                timeout=timeout_s,
+                cwd=Path(__file__).resolve().parents[1]).returncode == 0
+        except Exception:
+            return False
+
     # Headline (tpu_opt training) in a subprocess with batch-size fallback.
     # Gets the lion's share of the budget — a cold compile through the
     # tunnel has cost >570 s — but always leaves a slice for the detail
     # sections, which are cache hits when the headline got through.
-    train_res = None
-    for bs in (batch_size, batch_size // 2, max(batch_size // 4, 1)):
+    train_res = {"error": "never attempted"}
+    bs_ladder = [batch_size, batch_size // 2, max(batch_size // 4, 1)]
+    bs_i = 0
+    while bs_i < len(bs_ladder) and remaining() > 180:
+        if not _tpu_canary(int(min(120, remaining() - 60))):
+            print("tpu canary failed (tunnel down?) — retrying canary",
+                  file=sys.stderr, flush=True)
+            train_res = {"error": "tpu unreachable: 128x128 matmul canary "
+                                  "timed out"}
+            time.sleep(min(30.0, max(remaining() - 150, 0)))
+            continue
+        bs = bs_ladder[bs_i]
         t_budget = int(max(min(section_cap, remaining() - 120), 60))
         train_res = _bench_section(
             "bench_train", dict(tile=tile, batch_size=bs, steps=steps),
@@ -575,8 +624,9 @@ def run_benchmark(tile: int = 512, batch_size: int = 24, steps: int = 24,
             break
         print(f"train bench failed at bs={bs}: {train_res['error']}",
               file=sys.stderr, flush=True)
+        bs_i += 1
     if "error" in train_res:
-        raise RuntimeError("training benchmark failed at all batch sizes: "
+        raise RuntimeError("training benchmark failed: "
                            + str(train_res["error"]))
     value = train_res["tiles_per_sec_per_chip"]
     result = {

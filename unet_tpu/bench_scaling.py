@@ -24,15 +24,11 @@ import sys
 
 
 def main() -> dict:
-    os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "")
-        + " --xla_force_host_platform_device_count=8"
-    ).strip()
-    os.environ["JAX_PLATFORMS"] = "cpu"
+    from .utils.platform import force_cpu_backend
+
+    force_cpu_backend(device_count=8)
 
     import jax
-
-    jax.config.update("jax_platforms", "cpu")
 
     import time
     from functools import partial
