@@ -643,12 +643,20 @@ def run_benchmark(tile: int = 512, batch_size: int = 24, steps: int = 24,
         "budget": {"total_s": budget_total, "section_cap_s": section_cap},
     }
 
-    def _run_section(name: str, fn_name: str, kwargs: dict,
+    # 120 s is held in reserve for every section still pending, so one
+    # compile-service stall can consume at most its fair slack, never the
+    # later sections' floor (round-4 validation run: a 900 s predict stall
+    # left scaling 90 s and pallas nothing)
+    SECTION_RESERVE_S = 120
+
+    def _run_section(name: str, fn_name: str, kwargs: dict, n_after: int,
                      round_floats: int = 4, env: Optional[dict] = None,
                      module: Optional[str] = None) -> None:
         """One detail section under the global budget, flushed incrementally
         to stderr as it completes (a later kill loses nothing)."""
         left = remaining()
+        timeout = int(min(section_cap,
+                          left - 30 - SECTION_RESERVE_S * n_after))
         if left < 90:
             detail[name] = {"error": "skipped: bench budget exhausted"}
         elif module is not None:
@@ -659,34 +667,37 @@ def run_benchmark(tile: int = 512, batch_size: int = 24, steps: int = 24,
                 child_env = {k: v for k, v in child_env.items() if v != ""}
                 out = subprocess.run(
                     [sys.executable, "-m", module], capture_output=True,
-                    text=True, timeout=min(section_cap, left - 30),
-                    env=child_env)
+                    text=True, timeout=max(timeout, 60), env=child_env)
                 detail[name] = json.loads(out.stdout.strip().splitlines()[-1])
             except Exception as e:
                 detail[name] = {"error": str(e)[:120]}
         else:
             detail[name] = _bench_section(
-                fn_name, kwargs, int(min(section_cap, left - 30)),
-                round_floats=round_floats)
+                fn_name, kwargs, max(timeout, 60), round_floats=round_floats)
         print(json.dumps({"section": name, **detail[name]}),
               file=sys.stderr, flush=True)
 
-    _run_section("train_parity_topology", "bench_train",
-                 dict(tile=tile, batch_size=min(parity_batch, train_res["batch_size"]),
-                      steps=steps, tpu_opt=False))
-    _run_section("predict", "bench_predict",
-                 dict(tile=tile, batch_size=predict_batch, steps=steps))
-    _run_section("loader", "bench_loader", {}, round_floats=1)
-    _run_section("e2e_train", "bench_e2e_train",
-                 dict(tile=tile, batch_size=min(16, train_res["batch_size"])),
-                 round_floats=2)
-    # scaling: CPU-mesh flag must be set before JAX initializes → module
-    # subprocess on the CPU platform (no cache: XLA:CPU AOT reload is the
-    # one documented-risky cache client, compile_cache.py)
-    _run_section("scaling", "", {}, module="unet_tpu.bench_scaling",
-                 env={"JAX_PLATFORMS": "cpu", "UNET_TPU_COMPILE_CACHE": "off",
-                      "JAX_COMPILATION_CACHE_DIR": ""})
-    _run_section("pallas", "bench_pallas_probe", dict(tile=tile))
+    sections = [
+        ("train_parity_topology", "bench_train",
+         dict(tile=tile, batch_size=min(parity_batch, train_res["batch_size"]),
+              steps=steps, tpu_opt=False), {}),
+        ("predict", "bench_predict",
+         dict(tile=tile, batch_size=predict_batch, steps=steps), {}),
+        ("loader", "bench_loader", {}, dict(round_floats=1)),
+        ("e2e_train", "bench_e2e_train",
+         dict(tile=tile, batch_size=min(16, train_res["batch_size"])),
+         dict(round_floats=2)),
+        # scaling: CPU-mesh flag must be set before JAX initializes → module
+        # subprocess on the CPU platform (no cache: XLA:CPU AOT reload is the
+        # one documented-risky cache client, compile_cache.py)
+        ("scaling", "", {}, dict(module="unet_tpu.bench_scaling",
+         env={"JAX_PLATFORMS": "cpu", "UNET_TPU_COMPILE_CACHE": "off",
+              "JAX_COMPILATION_CACHE_DIR": ""})),
+        ("pallas", "bench_pallas_probe", dict(tile=tile), {}),
+    ]
+    for i, (name, fn_name, kwargs, extra) in enumerate(sections):
+        _run_section(name, fn_name, kwargs,
+                     n_after=len(sections) - i - 1, **extra)
 
     print(json.dumps(detail), file=sys.stderr, flush=True)
     # the headline again as the FINAL stdout line: parsers that take the
