@@ -52,6 +52,11 @@ def _pil_geokeys(path):
         elif loc == TAG_DOUBLES:
             vals = doubles[value : value + count]
             keys[kid] = vals[0] if count == 1 else vals
+        elif loc == TAG_GKD:
+            # multi-valued SHORT keys live in the directory tail, offset in
+            # SHORTs from the start of the directory array (GeoTIFF §2.4)
+            assert value >= 4 + 4 * n and value + count <= len(gkd), "tail OOB"
+            keys[kid] = gkd[value : value + count]
         else:
             raise AssertionError(f"unexpected key location {loc}")
     assert ids == sorted(ids), "GeoKeys must be sorted by id (GeoTIFF spec)"
@@ -189,3 +194,83 @@ def test_crs_survives_tile_predict_merge(tmp_path):
     mosaic = save_predictions(str(bundle), str(tile_dir), merge=True,
                               AOI="aoi", year="2026", batch_size=4)
     assert _pil_geokeys(mosaic) == ALBERS_KEYS  # predict+merge lossless
+
+
+# --- EPSG classification: the block heuristic's failure cases ----------------
+# Codes whose geographic/projected kind contradicts the 4000-4999 block rule,
+# plus non-degree / non-metre units. Classification is baked from the PROJ
+# EPSG database by tools/gen_epsg_data.py (geo/_epsg_data.py).
+
+GK_GEOG_ANGULAR_UNITS, GK_PROJ_LINEAR_UNITS = 2054, 3076
+
+TRICKY = [
+    # (code, geographic?, unit-key, unit-code)
+    (4647, False, GK_PROJ_LINEAR_UNITS, 9001),   # ETRS89/UTM32N zE-N: projected, in the 4000s
+    (4087, False, GK_PROJ_LINEAR_UNITS, 9001),   # WGS84 World Equidistant Cylindrical
+    (4088, False, GK_PROJ_LINEAR_UNITS, 9001),   # Sphere Equidistant Cylindrical
+    (4839, False, GK_PROJ_LINEAR_UNITS, 9001),   # ETRS89 / LCC Germany (N-E)
+    (4399, False, GK_PROJ_LINEAR_UNITS, 9003),   # NAD27 / BLM 59N: projected, ftUS
+    (7844, True, GK_GEOG_ANGULAR_UNITS, 9102),   # GDA2020: geographic, outside the 4000s
+    (9755, True, GK_GEOG_ANGULAR_UNITS, 9102),   # WGS 84 (G2139): geographic, 9000s
+    (4807, True, GK_GEOG_ANGULAR_UNITS, 9105),   # NTF (Paris): geographic, grads
+]
+
+
+@pytest.mark.parametrize("code,is_geog,unit_key,unit", TRICKY)
+def test_epsg_block_heuristic_failure_cases(tmp_path, code, is_geog, unit_key, unit):
+    keys = _pil_geokeys(_write_tile(tmp_path, f"EPSG:{code}"))
+    if is_geog:
+        assert keys[GK_MODEL_TYPE] == MODEL_TYPE_GEOGRAPHIC
+        assert keys[GK_GEOGRAPHIC_TYPE] == code
+        assert GK_PROJECTED_CS_TYPE not in keys
+    else:
+        assert keys[GK_MODEL_TYPE] == MODEL_TYPE_PROJECTED
+        assert keys[GK_PROJECTED_CS_TYPE] == code
+        assert GK_GEOGRAPHIC_TYPE not in keys
+    assert keys[unit_key] == unit
+
+
+def test_epsg_data_matches_proj_db():
+    """Self-validate the generated table against the PROJ database when one
+    is present (the generator's source of truth) — a stale or hand-edited
+    _epsg_data.py fails here rather than silently misclassifying."""
+    import os
+    import sqlite3
+
+    db_path = "/usr/share/proj/proj.db"
+    if not os.path.exists(db_path):
+        pytest.skip("no proj.db on this machine")
+    from unet_tpu.geo import _epsg_data as d
+
+    db = sqlite3.connect(db_path)
+    geog = {int(c) for (c,) in db.execute(
+        "SELECT CAST(code AS INT) FROM geodetic_crs "
+        "WHERE auth_name='EPSG' AND type LIKE 'geographic%'")}
+    proj = {int(c) for (c,) in db.execute(
+        "SELECT CAST(code AS INT) FROM projected_crs WHERE auth_name='EPSG'")}
+    mine_geog = {c for a, b in d._GEOGRAPHIC_RANGES for c in range(a, b + 1)}
+    mine_proj = {c for a, b in d._PROJECTED_RANGES for c in range(a, b + 1)}
+    assert mine_geog == geog
+    assert mine_proj == proj
+
+
+def test_multivalued_short_key_keeps_short_storage(tmp_path):
+    """A multi-valued SHORT GeoKey parsed from an input must re-emit in the
+    GeoKeyDirectory tail (loc=34735), not silently become GeoDoubleParams —
+    strict consumers validate the key's defined storage type."""
+    crs = CRS("EPSG:32632", {1024: 1, 1025: 1, 1026: "EPSG:32632",
+                             2062: [1, 2, 3], 3072: 32632})
+    p1 = _write_tile(tmp_path, crs, "s1.tif")
+    with Image.open(p1) as im:
+        gkd = [int(v) for v in im.tag_v2[TAG_GKD]]
+        doubles = list(im.tag_v2.get(TAG_DOUBLES, ()))
+    n = gkd[3]
+    ent = {gkd[4 + 4 * i]: gkd[4 + 4 * i : 8 + 4 * i] for i in range(n)}
+    assert ent[2062][1] == TAG_GKD and ent[2062][2] == 3
+    assert not doubles, "SHORT array must not leak into GeoDoubleParams"
+    assert _pil_geokeys(p1)[2062] == [1, 2, 3]
+    # second generation through our own reader keeps the type too
+    r = read_raster(p1)
+    assert r.crs.geokeys[2062] == [1, 2, 3]
+    p2 = _write_tile(tmp_path, r.crs, "s2.tif")
+    assert _pil_geokeys(p2)[2062] == [1, 2, 3]

@@ -214,10 +214,12 @@ class TestInvariants:
         for p in sorted(base.rglob("*.tif")):
             h.update(p.name.encode())
             h.update(p.read_bytes())
-        # re-pinned 2026-08-19: 3-band uint8 tiles now carry photometric=RGB
-        # (geo/tiff.py byte-imagery change); every tile PIL-cross-checked at
-        # the re-pin
-        assert h.hexdigest() == "b7353b8b0bfa4820115114c6f036b8adcfc601135db46996fbecd7b32b33121b"
+        # re-pinned 2026-08-19 (2nd): the CRS-conformance change added
+        # citation + linear-units GeoKeys to synthesized EPSG key sets
+        # (geo/tiff.py, VERDICT r3 #1) after the previous pin; key-level
+        # correctness is asserted independently in tests/test_crs.py and the
+        # PIL decode check below validates the pin at pixel level.
+        assert h.hexdigest() == "75fe1bb07d5b4f6ba49e6dcb93c4dbfcb1ab4e18c374dec40166d29cc71c79b8"
         # Self-validating pin: independently decode one 3-band tile with PIL
         # and assert photometric interpretation + pixel equality, so a silent
         # writer regression can't be baked into a future hash re-pin.

@@ -40,6 +40,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from . import _epsg_data
+
 # --- TIFF tag ids -----------------------------------------------------------
 TAG_IMAGE_WIDTH = 256
 TAG_IMAGE_LENGTH = 257
@@ -150,12 +152,19 @@ class CRS(str):
 
 
 def _epsg_is_geographic(code: int) -> bool:
-    """Classify an EPSG code as geographic (2D lat/lon) vs projected.
+    """Classify an EPSG code as geographic (2D/3D lat/lon) vs projected.
 
-    Geographic CRS live in the 4000–4999 EPSG block (4326 WGS84, 4258 ETRS89,
-    4269 NAD83, …); everything else the pipeline encounters is projected
-    (25832/32632 UTM, 3857 WebMercator, 2154 Lambert-93, 5070 Albers, …).
+    Backed by the complete EPSG dataset baked from PROJ's database
+    (``_epsg_data.py``, generated by tools/gen_epsg_data.py) — a block
+    heuristic is NOT enough: the 4000-4999 "geographic" block contains
+    projected CRS (4647 ETRS89/UTM32N zE-N, 4087/4088, 4839, the NAD27/BLM
+    zones, ...) and modern geographic realizations live outside it
+    (7844 GDA2020, 9755 WGS84 G2139, ...). Unknown codes (not horizontal
+    CRS in EPSG v10) fall back to the block heuristic.
     """
+    kind = _epsg_data.epsg_kind(code)
+    if kind is not None:
+        return kind == "geographic"
     return 4000 <= code <= 4999
 
 # sample-format codes
@@ -914,6 +923,8 @@ def _common_entries(
 
     geo_ascii = ""
     geo_doubles: List[float] = []
+    geo_short_tail: List[int] = []  # multi-valued SHORT keys, stored in the
+    # tail of the GeoKeyDirectory itself (loc=34735); offsets patched below.
     geokeys: List[Tuple[int, int, int, int]] = []
 
     def _add_key(kid: int, val: object) -> None:
@@ -922,6 +933,16 @@ def _common_entries(
             s = val if val.endswith("|") else val + "|"
             geokeys.append((kid, TAG_GEO_ASCII_PARAMS, len(s), len(geo_ascii)))
             geo_ascii += s
+        elif isinstance(val, (list, tuple)) and val and all(
+            isinstance(v, int) and 0 <= v <= 0xFFFF for v in val
+        ):
+            # Multi-valued SHORT key: keep its defined SHORT storage type on
+            # round-trip (re-emitting as doubles would change the key type).
+            # value_offset is in SHORTs from the start of the directory array;
+            # the header+entries length isn't known yet, so stash a tail
+            # index and patch when assembling.
+            geokeys.append((kid, TAG_GEO_KEY_DIRECTORY, len(val), -1 - len(geo_short_tail)))
+            geo_short_tail.extend(int(v) for v in val)
         elif isinstance(val, float) or isinstance(val, (list, tuple)):
             vals = [float(v) for v in (val if isinstance(val, (list, tuple)) else [val])]
             geokeys.append((kid, TAG_GEO_DOUBLE_PARAMS, len(vals), len(geo_doubles)))
@@ -949,13 +970,17 @@ def _common_entries(
                 _add_key(GK_RASTER_TYPE, 1)
                 _add_key(GK_GEOGRAPHIC_TYPE, epsg)
                 _add_key(GK_GEOG_CITATION, f"EPSG:{epsg}")
-                _add_key(GK_GEOG_ANGULAR_UNITS, UNIT_DEGREE)
+                # The CRS's actual EPSG angular unit (degree for all but a
+                # handful — e.g. the NTF-Paris family is in grads).
+                _add_key(GK_GEOG_ANGULAR_UNITS, _epsg_data.geographic_angular_unit(epsg))
             else:
                 _add_key(GK_MODEL_TYPE, MODEL_TYPE_PROJECTED)
                 _add_key(GK_RASTER_TYPE, 1)
                 _add_key(GK_PROJECTED_CS_TYPE, epsg)
                 _add_key(GK_CITATION, f"EPSG:{epsg}")
-                _add_key(GK_PROJ_LINEAR_UNITS, UNIT_METRE)
+                # Actual EPSG linear unit (metre for most; ftUS for the
+                # NAD27/83 BLM & state-plane-foot families, etc.).
+                _add_key(GK_PROJ_LINEAR_UNITS, _epsg_data.projected_linear_unit(epsg))
         else:
             # Free-text CRS: model type is unknowable → user-defined + citation.
             _add_key(GK_MODEL_TYPE, GK_USER_DEFINED)
@@ -963,8 +988,12 @@ def _common_entries(
             _add_key(GK_CITATION, str(crs))
     if geokeys:
         gkd = [1, 1, 0, len(geokeys)]
-        for k in sorted(geokeys):
-            gkd.extend(k)
+        tail_base = 4 + 4 * len(geokeys)  # SHORT offset of the tail region
+        for kid, loc, count, value in sorted(geokeys):
+            if loc == TAG_GEO_KEY_DIRECTORY:
+                value = tail_base + (-1 - value)  # patch stashed tail index
+            gkd.extend((kid, loc, count, value))
+        gkd.extend(geo_short_tail)
         entries.append((TAG_GEO_KEY_DIRECTORY, TYPE_SHORT, gkd))
         if geo_doubles:
             entries.append((TAG_GEO_DOUBLE_PARAMS, TYPE_DOUBLE, geo_doubles))
