@@ -107,6 +107,10 @@ def test_two_process_distributed_train_step(tmp_path):
     script = tmp_path / "worker.py"
     script.write_text(WORKER)
     env = dict(os.environ)
+    # bare JAX_PLATFORMS=cpu is not enough: with the axon plugin env var
+    # present the TPU-tunnel backend factory registers in the workers and
+    # can block forever when the tunnel is down (utils/platform.py)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     env.update(
         JAX_PLATFORMS="cpu",
         XLA_FLAGS="--xla_force_host_platform_device_count=2",

@@ -107,6 +107,9 @@ class TestModule:
     def test_module_matches_flax_and_same_tree(self, rng, monkeypatch):
         from unet_tpu.models.layers import PallasStatsBatchNorm
 
+        # the test env runs 8 virtual CPU devices; opt in to the pallas
+        # branch anyway (execution here is single-device)
+        monkeypatch.setenv("UNET_TPU_BN_MULTIDEVICE", "1")
         x = jnp.asarray(rng.normal(size=(2, 8, 8, 32)).astype(np.float32))
         mod_p = PallasStatsBatchNorm(use_running_average=False,
                                      momentum=0.9, dtype=jnp.float32)
@@ -145,6 +148,33 @@ class TestModule:
                                    dtype=jnp.float32)
         v = mod.init(jax.random.PRNGKey(0), x)
         yp, _ = mod.apply(v, x, mutable=["batch_stats"])
+        bn = nn.BatchNorm(use_running_average=False, dtype=jnp.float32,
+                          param_dtype=jnp.float32)
+        yf, _ = bn.apply(v, x, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(yp), np.asarray(yf),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_multidevice_guard_takes_flax_branch(self, rng, monkeypatch):
+        """pallas_call has no GSPMD partitioning rule: on multi-device hosts
+        (this test env runs 8 virtual CPU devices) the module must take the
+        flax-exact branch even for kernel-supported shapes, unless the
+        single-device override is set."""
+        from unet_tpu.models.layers import PallasStatsBatchNorm
+        from unet_tpu.ops import pallas_bn as pbn
+
+        assert jax.device_count() > 1, "test env should expose 8 devices"
+        monkeypatch.delenv("UNET_TPU_BN_MULTIDEVICE", raising=False)
+
+        def boom(*a, **k):
+            raise AssertionError("pallas branch ran on a multi-device host")
+
+        monkeypatch.setattr(pbn, "batch_norm_train", boom)
+        x = jnp.asarray(rng.normal(size=(2, 8, 8, 32)).astype(np.float32))
+        assert pbn.supported(x.size // 32, 32)  # shape alone would qualify
+        mod = PallasStatsBatchNorm(use_running_average=False,
+                                   dtype=jnp.float32)
+        v = mod.init(jax.random.PRNGKey(0), x)
+        yp, _ = mod.apply(v, x, mutable=["batch_stats"])  # must not raise
         bn = nn.BatchNorm(use_running_average=False, dtype=jnp.float32,
                           param_dtype=jnp.float32)
         yf, _ = bn.apply(v, x, mutable=["batch_stats"])

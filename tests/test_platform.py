@@ -55,9 +55,11 @@ def test_force_cpu_backend_idempotent_and_post_init_safe():
     assert "OK" in r.stdout
 
 
-def test_force_cpu_backend_respects_existing_device_count_flag():
-    # an XLA_FLAGS already requesting a count wins (conftest sets 8; the
-    # guard must not stack a second, conflicting flag)
+def test_force_cpu_backend_replaces_existing_device_count_flag():
+    # an inherited XLA_FLAGS pin (e.g. a CI ...=1) must not silently
+    # override an explicit device_count request: the guard replaces the
+    # flag in place — exactly one flag, with the requested value (the
+    # scaling bench relies on this to actually get its 8-device mesh)
     r = _run(
         "import os, sys; sys.path.insert(0, '.')\n"
         "os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=3'\n"
@@ -65,7 +67,7 @@ def test_force_cpu_backend_respects_existing_device_count_flag():
         "force_cpu_backend(device_count=5)\n"
         "assert os.environ['XLA_FLAGS'].count('device_count') == 1, os.environ['XLA_FLAGS']\n"
         "import jax\n"
-        "assert len(jax.devices()) == 3, jax.devices()\n"
+        "assert len(jax.devices()) == 5, jax.devices()\n"
         "print('OK')\n")
     assert r.returncode == 0, r.stderr[-800:]
     assert "OK" in r.stdout

@@ -44,11 +44,17 @@ def test_real_pretrain_warm_start_beats_scratch(pretext_pth, tmp_path):
 
     # 1. the real .pth through the import-weights CLI
     npz = tmp_path / "xresnet34_pretext.npz"
+    # bare JAX_PLATFORMS=cpu is not enough in the child: with the axon
+    # plugin env var present its backend factory registers and can block
+    # forever when the TPU tunnel is down (utils/platform.py). Drop the
+    # plugin env and bound the run.
+    child_env = {k: v for k, v in os.environ.items()
+                 if k != "PALLAS_AXON_POOL_IPS"}
     r = subprocess.run(
         [sys.executable, "-m", "unet_tpu", "import-weights", str(pretext_pth),
          "--arch", "xresnet34", "-o", str(npz)],
-        capture_output=True, text=True,
-        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        capture_output=True, text=True, timeout=600,
+        env={**child_env, "JAX_PLATFORMS": "cpu"},
     )
     assert r.returncode == 0, r.stderr
     assert npz.exists()

@@ -18,6 +18,17 @@ from unet_tpu.models import XResNetBody, build_unet
 from unet_tpu.models.torch_import import convert_xresnet_state_dict, load_encoder
 
 
+def _cpu_child_env():
+    """CPU-pinned subprocess env: drop the axon plugin var too — with it
+    present the TPU-tunnel backend factory registers in the child and can
+    block forever when the tunnel is down (utils/platform.py)."""
+    import os
+
+    env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    return env
+
+
 def conv_layer(ni, nf, ks=3, stride=1, act=True, zero_bn=False):
     conv = tnn.Conv2d(ni, nf, ks, stride, (ks - 1) // 2, bias=False)
     bn = tnn.BatchNorm2d(nf, eps=1e-5)
@@ -210,8 +221,8 @@ class TestImportWeightsCLI:
         r = subprocess.run(
             [sys.executable, "-m", "unet_tpu", "import-weights", str(pth),
              "--arch", "xresnet18", "-o", str(out)],
-            capture_output=True, text=True,
-            env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+            capture_output=True, text=True, timeout=600,
+            env=_cpu_child_env(),
         )
         assert r.returncode == 0, r.stderr
         assert out.exists()
@@ -339,8 +350,8 @@ class TestGoldenXresnet34:
         r = subprocess.run(
             [sys.executable, "-m", "unet_tpu", "import-weights", str(pth),
              "--arch", "xresnet34", "-o", str(npz)],
-            capture_output=True, text=True,
-            env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+            capture_output=True, text=True, timeout=600,
+            env=_cpu_child_env(),
         )
         assert r.returncode == 0, r.stderr
 

@@ -100,7 +100,12 @@ N_CLASSES = N_SHAPES * N_BANDS
 
 def make_batch(rng: np.random.Generator, batch: int, size: int
                ) -> Tuple[np.ndarray, np.ndarray]:
-    """(batch, 3, size, size) float32 in [0,1] + integer labels."""
+    """(batch, 3, size, size) float32 on the RAW 0-255 scale + int labels.
+
+    Deliberately NOT normalized to [0,1]: the product pipeline feeds the
+    encoder unscaled int8-range values, and pretraining on a different
+    input scale shifts the stem/BN statistics and kills the warm start.
+    """
     imgs = rng.integers(10, 60, (batch, 3, size, size)).astype(np.float32)
     labels = rng.integers(0, N_CLASSES, batch)
     yy, xx = np.mgrid[:size, :size]

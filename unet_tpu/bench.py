@@ -458,7 +458,9 @@ def bench_pallas_probe(tile: int = 512) -> dict:
                 t0 = time.perf_counter()
                 _sync(run(x2d))
                 best = min(best, (time.perf_counter() - t0 - lat) / K * 1e3)
-            return best
+            # same latency-noise clamp as the fused_aug/blend A/Bs: a fetch
+            # latency bigger than the amortized loop must not record <= 0 ms
+            return max(best, 1e-6)
 
         try:
             probe.record_kernel_ab("bn_stats", _stats_ms(True), _stats_ms(False))
@@ -668,7 +670,14 @@ def run_benchmark(tile: int = 512, batch_size: int = 24, steps: int = 24,
                 out = subprocess.run(
                     [sys.executable, "-m", module], capture_output=True,
                     text=True, timeout=max(timeout, 60), env=child_env)
-                detail[name] = json.loads(out.stdout.strip().splitlines()[-1])
+                if out.returncode != 0:
+                    # surface the child's real traceback, not a JSON-parse
+                    # error over its empty/partial stdout
+                    tail = (out.stderr or out.stdout).strip().splitlines()[-3:]
+                    detail[name] = {"error": f"rc={out.returncode}: "
+                                    + " | ".join(tail)[:300]}
+                else:
+                    detail[name] = json.loads(out.stdout.strip().splitlines()[-1])
             except Exception as e:
                 detail[name] = {"error": str(e)[:120]}
         else:

@@ -121,7 +121,17 @@ class PallasStatsBatchNorm(nn.Module):
                                 lambda: jnp.zeros((c,), jnp.float32))
         ra_var = self.variable("batch_stats", "var",
                                lambda: jnp.ones((c,), jnp.float32))
-        use_pallas = pallas_bn.supported(x.size // c, c)
+        # pallas_call has no GSPMD partitioning rule: under a multi-device
+        # mesh (data or spatial sharding) the kernel would force replication
+        # or fail to lower, so multi-device processes take the flax-exact
+        # branch below (same param tree, numerics pinned in tests).
+        # UNET_TPU_BN_MULTIDEVICE=1 overrides for single-device use in
+        # multi-device processes (e.g. the 8-virtual-CPU test env).
+        import os as _os
+
+        single = (jax.device_count() == 1
+                  or _os.environ.get("UNET_TPU_BN_MULTIDEVICE") == "1")
+        use_pallas = pallas_bn.supported(x.size // c, c) and single
         if self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         elif use_pallas:

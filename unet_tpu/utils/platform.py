@@ -12,6 +12,7 @@ first device access, not merely set ``JAX_PLATFORMS=cpu``.
 from __future__ import annotations
 
 import os
+import re
 
 
 def force_cpu_backend(device_count: int | None = None) -> None:
@@ -25,7 +26,16 @@ def force_cpu_backend(device_count: int | None = None) -> None:
     """
     if device_count is not None:
         flags = os.environ.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
+        if "xla_force_host_platform_device_count" in flags:
+            # An inherited pin (e.g. a CI XLA_FLAGS=...=1) must not silently
+            # override the explicit request — replace it.
+            flags = re.sub(
+                r"--?xla_force_host_platform_device_count=\d+",
+                f"--xla_force_host_platform_device_count={device_count}",
+                flags,
+            )
+            os.environ["XLA_FLAGS"] = flags
+        else:
             os.environ["XLA_FLAGS"] = (
                 flags + f" --xla_force_host_platform_device_count={device_count}"
             ).strip()
