@@ -962,7 +962,7 @@ def _common_entries(
                 _add_key(kid, full_keys[kid])
         elif epsg is not None:
             # Synthesize a spec-conformant minimal key set from the EPSG
-            # code. Geographic codes (4000-4999, e.g. 4326) MUST go in
+            # code. Geographic codes (e.g. 4326) MUST go in
             # GeographicTypeGeoKey with GTModelType=Geographic; projected
             # codes in ProjectedCSTypeGeoKey with GTModelType=Projected.
             if _epsg_is_geographic(epsg):
