@@ -43,11 +43,25 @@ class TestDataset:
     def test_mask_pairing(self, dataset_dir):
         ds = TileDataset(dataset_dir)
         img, msk = ds.load_pair(ds.train_files[0])
-        # images keep their storage dtype (1 byte/px stays 1 byte/px
-        # through the host→device transfer); the device casts when scaling
+        # images AND class masks keep their storage dtype (1 byte/px stays
+        # 1 byte/px through the host→device transfer); the jitted step
+        # widens labels to int32 on device
         assert img.shape == (3, 32, 32) and img.dtype == np.uint8
-        assert msk.shape == (32, 32) and msk.dtype == np.int32
+        assert msk.shape == (32, 32) and msk.dtype == np.uint8
         assert "mask_tiles" in str(get_mask_path(ds.train_files[0]))
+
+    def test_float_stored_class_mask_widens(self, tmp_path, rng):
+        # a float-stored classification mask still becomes integer labels
+        # (the reference's MaskBlock long conversion)
+        for d in ("img_tiles", "mask_tiles"):
+            (tmp_path / "trai" / d).mkdir(parents=True)
+        img = rng.integers(0, 255, size=(3, 8, 8)).astype(np.uint8)
+        msk = rng.integers(0, 3, size=(1, 8, 8)).astype(np.float32)
+        write_raster(tmp_path / "trai" / "img_tiles" / "a.tif", img, transform=T)
+        write_raster(tmp_path / "trai" / "mask_tiles" / "a.tif", msk, transform=T)
+        ds = TileDataset(tmp_path, valid_scenes=())
+        _, m = ds.load_pair(ds.train_files[0])
+        assert m.dtype == np.int32
 
     def test_datatype_detection_int8(self, dataset_dir):
         assert get_datatype(dataset_dir) == "int8"

@@ -137,7 +137,11 @@ def test_loader_selection_env_override(tmp_path, rng, monkeypatch):
     assert ld._native is not None and ld._native_decided
     imgs2, masks2, _ = ld.one_batch()
     assert imgs2.dtype == imgs.dtype  # raw dtype parity between paths
+    # class masks keep their storage dtype on BOTH paths (uint8 labels
+    # cross h2d at 1 byte/px; the jitted step widens on device)
+    assert masks.dtype == np.uint8 and masks2.dtype == np.uint8
     np.testing.assert_array_equal(np.sort(imgs.ravel()), np.sort(imgs2.ravel()))
+    np.testing.assert_array_equal(np.sort(masks.ravel()), np.sort(masks2.ravel()))
     ld.close()
 
     monkeypatch.delenv("UNET_TPU_LOADER")

@@ -104,13 +104,20 @@ class TileDataset:
 
         Images stay in their storage dtype (uint8/uint16/...) so a uint8
         tile costs 1 byte/px through host RAM and the host→device transfer;
-        the device casts to float during augmentation scaling. Mask band 0
-        only, as the reference's get_y does (utils.py:51-55); int masks →
-        int32, float masks (regression) → float32.
+        the device casts to float during augmentation scaling. Masks get the
+        same treatment: integer-stored class masks keep their storage dtype
+        (typically uint8 — 4× fewer h2d bytes than the reference's long
+        labels) and are widened to int32 on device inside the jitted step;
+        float-stored class masks → int32 (the reference's MaskBlock long
+        conversion); regression masks → float32. Mask band 0 only, as the
+        reference's get_y does (utils.py:51-55).
         """
         img = self.load_image(img_path)
         msk = read_raster(get_mask_path(img_path)).data[0]
-        msk = msk.astype(np.float32 if self.regression else np.int32)
+        if self.regression:
+            msk = msk.astype(np.float32)
+        elif msk.dtype.kind not in "iu":
+            msk = msk.astype(np.int32)
         return img, msk
 
     def load_image(self, img_path: Path) -> np.ndarray:

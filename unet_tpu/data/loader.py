@@ -66,6 +66,7 @@ class TileLoader:
         # UNET_TPU_LOADER=native|python.
         self._tile_shape: Optional[Tuple[int, int, int]] = None
         self._tile_dtype: Optional[np.dtype] = None
+        self._mask_dtype: Optional[np.dtype] = None
         self._native = None
         self._native_decided = False
         if self.files:
@@ -77,6 +78,13 @@ class TileLoader:
                     self._tile_shape = (info.height, info.width, info.bands)
                     self._tile_dtype = info.dtype
                     self._native = native
+                    if self.with_masks and not self.dataset.regression:
+                        try:
+                            minfo = tiff_codec.read_info(
+                                str(get_mask_path(self.files[0])))
+                            self._mask_dtype = minfo.dtype
+                        except Exception:
+                            self._mask_dtype = None
             except Exception:
                 self._native = None
         forced = os.environ.get("UNET_TPU_LOADER")
@@ -158,6 +166,12 @@ class TileLoader:
             mask_paths = [get_mask_path(p) for p in full]
             if self.dataset.regression:
                 masks = native.decode_batch(mask_paths, h, w, 1, self.n_threads)[..., 0]
+            elif self._mask_dtype is not None and self._mask_dtype.kind in "iu":
+                # class masks in their storage dtype (matches the Python
+                # path / dataset.load_pair): uint8 labels cross h2d at
+                # 1 byte/px instead of decode_masks' int32
+                masks = native.decode_batch_raw(
+                    mask_paths, h, w, 1, self._mask_dtype, self.n_threads)[..., 0]
             else:
                 masks = native.decode_masks(mask_paths, h, w, self.n_threads)
         return images, masks, n_valid

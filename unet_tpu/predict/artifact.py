@@ -225,6 +225,9 @@ class ArtifactPredictor:
 
         @partial(jax.jit, static_argnames=("folded", "quantize_int8"))
         def fwd(leaves, x, folded=False, quantize_int8=False):
+            # the frozen program's signature is f32; casting here (inside
+            # the outer jit) lets tiles cross h2d in their storage dtype
+            x = x.astype(jnp.float32)
             return finish_probs(probs_fn(leaves, x), folded, quantize_int8)
 
         self._jit_forward = fwd
@@ -234,8 +237,9 @@ class ArtifactPredictor:
         """(B,H,W,C) raw tile values → device probs/values; see
         :func:`unet_tpu.predict.predict.finish_probs` for the
         ``folded``/``quantize_int8`` layouts. Scaling happens inside the
-        frozen program."""
-        x = jnp.asarray(images, jnp.float32)
+        frozen program; the float cast happens on device so uint8 tiles
+        cross h2d at 1 byte/px."""
+        x = jnp.asarray(images)
         return self._jit_forward(self._leaves, x, folded=folded,
                                  quantize_int8=quantize_int8)
 

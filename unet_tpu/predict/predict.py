@@ -164,15 +164,23 @@ class Predictor:
         stretch (×31, round-half-even — predict.py:245-249 ``np.around``)
         ON DEVICE and returns int8: softmax probs are provably ≤ 1, the
         rounding matches ``np.around`` bit-for-bit, and the device→host
-        fetch shrinks 4×."""
-        x = shard_batch(self.mesh, images.astype(np.float32) * self.scale)
+        fetch shrinks 4×.
+
+        Tiles cross host→device in their storage dtype (a uint8 tile is 4×
+        fewer h2d bytes than the float32 the reference ships per tile) and
+        the float cast + dtype scaling fuse into the first conv on device —
+        bit-identical to host-side float32 scaling since integer raster
+        values are exact in f32."""
+        x = shard_batch(self.mesh, np.ascontiguousarray(images))
         if self._jit_forward is None:
             probs_fn = make_probs_fn(self.model, self.regression)
             if self.tta:
                 probs_fn = tta_probs_fn(probs_fn)
+            scale = self.scale
 
             @partial(jax.jit, static_argnames=("folded", "quantize_int8"))
             def fwd(variables, x, folded=False, quantize_int8=False):
+                x = x.astype(jnp.float32) * scale
                 return finish_probs(probs_fn(variables, x), folded, quantize_int8)
 
             self._jit_forward = fwd
@@ -320,8 +328,7 @@ def predict_raster_streamed(
             if len(chunk) < bs:
                 batch = np.concatenate(
                     [batch, np.repeat(batch[-1:], bs - len(chunk), axis=0)], axis=0)
-            probs = predictor.predict_batch_device(
-                batch.astype(np.float32))[: len(chunk)]
+            probs = predictor.predict_batch_device(batch)[: len(chunk)]
             if pending is not None:
                 accumulate(*pending)
             pending = (chunk, probs)
@@ -600,7 +607,9 @@ def save_predictions(
     def load_batch(start):
         chunk = tiles[start : group_ends[start]]
         rasters = [read_raster(t) for t in chunk]
-        batch = np.stack([np.moveaxis(r.data.astype(np.float32), 0, 2) for r in rasters])
+        # storage dtype through the stack: the Predictor casts + scales on
+        # device, so a uint8 tile costs 1 byte/px over h2d
+        batch = np.stack([np.moveaxis(r.data, 0, 2) for r in rasters])
         if len(chunk) < bs:  # pad final batch
             pad = np.repeat(batch[-1:], bs - len(chunk), axis=0)
             batch = np.concatenate([batch, pad], axis=0)

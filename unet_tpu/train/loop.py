@@ -327,6 +327,10 @@ class Trainer:
 
         @partial(jax.jit, donate_argnums=(0,))
         def train_step(state: TrainState, images, masks, key):
+            if not regression:
+                # labels cross h2d in their storage width (uint8 typically —
+                # data/dataset.py::load_pair) and widen for free on device
+                masks = masks.astype(jnp.int32)
             images, masks = augment_batch(
                 key, images, masks, aug_cfg,
                 n_transform_imgs=cfg.n_transform_imgs, dtype_str=dtype_str,
@@ -372,6 +376,8 @@ class Trainer:
 
         @jax.jit
         def eval_step(state: TrainState, images, masks, n_valid, key, metric_state):
+            if not regression:
+                masks = masks.astype(jnp.int32)  # see train_step
             sample_mask = jnp.arange(images.shape[0]) < n_valid
             # eval-time augmentation (split_idx=1/None) draws fresh
             # randomness per batch like the reference's batch_tfms; with the
