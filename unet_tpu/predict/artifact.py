@@ -223,25 +223,30 @@ class ArtifactPredictor:
         call = self._exported.call
         probs_fn = tta_probs_fn(call) if self.tta else call
 
-        @partial(jax.jit, static_argnames=("folded", "quantize_int8"))
-        def fwd(leaves, x, folded=False, quantize_int8=False):
+        @partial(jax.jit,
+                 static_argnames=("folded", "quantize_int8", "argmax_u8"))
+        def fwd(leaves, x, folded=False, quantize_int8=False,
+                argmax_u8=False):
             # the frozen program's signature is f32; casting here (inside
             # the outer jit) lets tiles cross h2d in their storage dtype
             x = x.astype(jnp.float32)
-            return finish_probs(probs_fn(leaves, x), folded, quantize_int8)
+            return finish_probs(probs_fn(leaves, x), folded, quantize_int8,
+                                argmax_u8)
 
         self._jit_forward = fwd
 
     def predict_batch_device(self, images: np.ndarray, folded: bool = False,
-                             quantize_int8: bool = False) -> jax.Array:
+                             quantize_int8: bool = False,
+                             argmax_u8: bool = False) -> jax.Array:
         """(B,H,W,C) raw tile values → device probs/values; see
         :func:`unet_tpu.predict.predict.finish_probs` for the
-        ``folded``/``quantize_int8`` layouts. Scaling happens inside the
-        frozen program; the float cast happens on device so uint8 tiles
-        cross h2d at 1 byte/px."""
+        ``folded``/``quantize_int8``/``argmax_u8`` layouts. Scaling happens
+        inside the frozen program; the float cast happens on device so
+        uint8 tiles cross h2d at 1 byte/px."""
         x = jnp.asarray(images)
         return self._jit_forward(self._leaves, x, folded=folded,
-                                 quantize_int8=quantize_int8)
+                                 quantize_int8=quantize_int8,
+                                 argmax_u8=argmax_u8)
 
     def predict_batch(self, images: np.ndarray) -> np.ndarray:
         return np.asarray(self.predict_batch_device(images))

@@ -99,7 +99,8 @@ def tta_probs_fn(probs_fn):
 
 
 def finish_probs(probs: jax.Array, folded: bool = False,
-                 quantize_int8: bool = False) -> jax.Array:
+                 quantize_int8: bool = False,
+                 argmax_u8: bool = False) -> jax.Array:
     """Post-ops on finished probabilities, shared by both deployment paths.
 
     ``quantize_int8``: the reference's ``large_file`` probs stretch (×31,
@@ -107,11 +108,19 @@ def finish_probs(probs: jax.Array, folded: bool = False,
     softmax probs are provably ≤ 1, the rounding matches ``np.around``
     bit-for-bit, and the device→host fetch shrinks 4×.
 
+    ``argmax_u8``: the default deployment mode's class map computed ON
+    DEVICE — (B,H,W) uint8 instead of (B,H,W,C) float32 over d2h, 4·C×
+    fewer fetch bytes (12× for 3 classes). Identical to the host argmax it
+    replaces: ``jnp.argmax`` and ``np.argmax`` both take the first index
+    on ties, over bit-identical device probabilities.
+
     ``folded``: return (B, H, W·n_out) instead — TPU stores an HBM array's
     minor dim padded to 128 lanes, so a persistent (B,H,W,C≪128) output
     physically occupies ~128/C× its logical bytes; folding inside the jit
     writes the dense layout once (free for downstream DeviceMosaic
     accumulation)."""
+    if argmax_u8:
+        return jnp.argmax(probs, axis=-1).astype(jnp.uint8)
     if quantize_int8:
         probs = jnp.rint(probs * ((128 / 4) - 1)).astype(jnp.int8)
     if folded:
@@ -151,7 +160,8 @@ class Predictor:
         self._jit_forward = None
 
     def predict_batch_device(self, images: np.ndarray, folded: bool = False,
-                             quantize_int8: bool = False) -> jax.Array:
+                             quantize_int8: bool = False,
+                             argmax_u8: bool = False) -> jax.Array:
         """(B,H,W,C) raw tile values → device (B,H,W,n_out) probs/values.
 
         ``folded=True`` returns (B, H, W·n_out) instead: TPU stores an HBM
@@ -178,14 +188,18 @@ class Predictor:
                 probs_fn = tta_probs_fn(probs_fn)
             scale = self.scale
 
-            @partial(jax.jit, static_argnames=("folded", "quantize_int8"))
-            def fwd(variables, x, folded=False, quantize_int8=False):
+            @partial(jax.jit,
+                     static_argnames=("folded", "quantize_int8", "argmax_u8"))
+            def fwd(variables, x, folded=False, quantize_int8=False,
+                    argmax_u8=False):
                 x = x.astype(jnp.float32) * scale
-                return finish_probs(probs_fn(variables, x), folded, quantize_int8)
+                return finish_probs(probs_fn(variables, x), folded,
+                                    quantize_int8, argmax_u8)
 
             self._jit_forward = fwd
         return self._jit_forward(self.variables, x, folded=folded,
-                                 quantize_int8=quantize_int8)
+                                 quantize_int8=quantize_int8,
+                                 argmax_u8=argmax_u8)
 
     def predict_batch(self, images: np.ndarray) -> np.ndarray:
         return np.asarray(self.predict_batch_device(images))
@@ -618,6 +632,19 @@ def save_predictions(
     def process(chunk, rasters, probs):
         """Host side of one batch: per-tile select/quantize/write."""
         for tile_path, raster, p in zip(chunk, rasters, probs):
+            if p.ndim == 2:
+                # device argmax_u8 (default mode): p is already the (H,W)
+                # uint8 class map — same first-index-on-ties argmax the
+                # host computed before, minus 4·C× the d2h bytes
+                out = p
+                if class_zero:
+                    out = _apply_class_zero(out, None).astype(out.dtype)
+                write_raster(
+                    output_folder / tile_path.name, np.asarray(out),
+                    transform=raster.transform, crs=raster.crs,
+                    compress=out_compress,
+                )
+                continue
             class_stack = np.moveaxis(p, 2, 0)  # (C,H,W)
             if merge:
                 if large_file and class_stack.max() <= 1:
@@ -653,6 +680,12 @@ def save_predictions(
     # re-stretch in process() self-disables on int8 input (max 31 > 1).
     use_int8 = large_file and not regression and not merge \
         and (all_classes or sc_selected)
+    # default mode (class map out): argmax ON DEVICE — (H,W) uint8 over d2h
+    # instead of (H,W,C) float32, 4·C× fewer fetch bytes per tile. Covers
+    # large_file-default too (its stretch gate is False in this mode, so
+    # the written output was the argmax map regardless).
+    use_argmax = (not merge and not regression and not all_classes
+                  and specific_class is None)
 
     # 3-stage pipeline: tile reads prefetch on a thread, the jitted forward
     # dispatches asynchronously, and each batch's d2h fetch + host writes
@@ -696,7 +729,8 @@ def save_predictions(
                     prog.update(len(chunk))
                     continue
                 probs_dev = predictor.predict_batch_device(
-                    batch, quantize_int8=use_int8)[: len(chunk)]
+                    batch, quantize_int8=use_int8,
+                    argmax_u8=use_argmax)[: len(chunk)]
                 pending.append((chunk, rasters, probs_dev))
                 if len(pending) > 1:
                     c, r, p = pending.popleft()
