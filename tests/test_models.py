@@ -311,3 +311,82 @@ class TestFusedStatsBatchNorm:
         # and the model runs under the fused implementation
         y, _ = m.apply(v_fused, x, train=True, mutable=["batch_stats"])
         assert y.shape == (1, 32, 32, 2)
+
+
+class TestSliceStatsBatchNorm:
+    """SliceStatsBatchNorm (UNET_TPU_BN=slice[:k]) — ghost-/slice-BN whose
+    training statistics come from the first k batch samples (VERDICT r4
+    next #3). Param tree identical to nn.BatchNorm; k >= N reproduces
+    flax's fast-variance numerics; k < N uses exactly x[:k] statistics."""
+
+    def test_full_slice_matches_flax(self):
+        import flax.linen as nn_
+        from unet_tpu.models.layers import SliceStatsBatchNorm
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(2.0, 3.0, (4, 8, 8, 5)).astype(np.float32))
+        ref = nn_.BatchNorm(use_running_average=False, momentum=0.9,
+                            epsilon=1e-5, dtype=jnp.float32,
+                            param_dtype=jnp.float32)
+        sl = SliceStatsBatchNorm(use_running_average=False, n_stat=8,
+                                 dtype=jnp.float32)
+        v = ref.init(jax.random.PRNGKey(0), x)
+        assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(
+            sl.init(jax.random.PRNGKey(0), x))
+        v = {"params": {"scale": jnp.asarray(rng.random(5), jnp.float32),
+                        "bias": jnp.asarray(rng.random(5), jnp.float32)},
+             "batch_stats": v["batch_stats"]}
+        yr, ur = ref.apply(v, x, mutable=["batch_stats"])
+        ys, us = sl.apply(v, x, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(ys), np.asarray(yr),
+                                   rtol=1e-5, atol=1e-5)
+        for k in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(us["batch_stats"][k]),
+                np.asarray(ur["batch_stats"][k]), rtol=1e-5, atol=1e-6)
+
+    def test_partial_slice_uses_first_k_samples(self):
+        from unet_tpu.models.layers import SliceStatsBatchNorm
+
+        rng = np.random.default_rng(1)
+        x = rng.normal(1.0, 2.0, (6, 4, 4, 3)).astype(np.float32)
+        sl = SliceStatsBatchNorm(use_running_average=False, n_stat=2,
+                                 dtype=jnp.float32)
+        v = sl.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        y, upd = sl.apply(v, jnp.asarray(x), mutable=["batch_stats"])
+        xs = x[:2].reshape(-1, 3).astype(np.float64)
+        mean = xs.mean(0)
+        var = np.maximum((xs * xs).mean(0) - mean * mean, 0.0)
+        # normalize applies slice stats to the WHOLE batch
+        exp = (x - mean.astype(np.float32)) / np.sqrt(
+            var.astype(np.float32) + 1e-5)
+        np.testing.assert_allclose(np.asarray(y), exp, rtol=1e-4, atol=1e-4)
+        # running averages update from the slice stats
+        np.testing.assert_allclose(np.asarray(upd["batch_stats"]["mean"]),
+                                   0.1 * mean, rtol=1e-5, atol=1e-6)
+
+    def test_eval_uses_running_stats(self):
+        import flax.linen as nn_
+        from unet_tpu.models.layers import SliceStatsBatchNorm
+
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.normal(0, 1, (3, 4, 4, 3)).astype(np.float32))
+        ref = nn_.BatchNorm(use_running_average=True, epsilon=1e-5,
+                            dtype=jnp.float32, param_dtype=jnp.float32)
+        sl = SliceStatsBatchNorm(use_running_average=True, n_stat=1,
+                                 dtype=jnp.float32)
+        v = {"params": ref.init(jax.random.PRNGKey(0), x)["params"],
+             "batch_stats": {"mean": jnp.asarray(rng.random(3), jnp.float32),
+                             "var": jnp.asarray(0.5 + rng.random(3), jnp.float32)}}
+        np.testing.assert_allclose(np.asarray(sl.apply(v, x)),
+                                   np.asarray(ref.apply(v, x)),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_factory_selects_slice_variant(self, monkeypatch):
+        from unet_tpu.models.layers import SliceStatsBatchNorm, batch_norm
+
+        monkeypatch.setenv("UNET_TPU_BN", "slice:4")
+        bn = batch_norm(train=True)
+        assert isinstance(bn, SliceStatsBatchNorm) and bn.n_stat == 4
+        monkeypatch.setenv("UNET_TPU_BN", "slice")
+        assert batch_norm(train=True).n_stat == 8

@@ -159,13 +159,71 @@ class PallasStatsBatchNorm(nn.Module):
             + bias.astype(d)
 
 
+class SliceStatsBatchNorm(nn.Module):
+    """Drop-in nn.BatchNorm (same param/stat tree: scale/bias, mean/var)
+    whose TRAINING statistics come from the first ``n_stat`` batch samples
+    only — ghost-/slice-BN (VERDICT r4 next #3).
+
+    Motivation: the round-4 trace puts BN-stat reduces at 23.3 ms of the
+    94.6 ms flagship step. The normalize apply must read every element (it
+    fuses into neighbors), but the STATISTICS don't: at 512² even 4
+    samples give >1M elements per channel — far past the point where
+    estimator noise matters — so the forward stat reduce can read
+    ``n_stat/N`` of the tensor. The backward dmean/dvar reduces still span
+    the full batch (stats broadcast into every sample's normalize), so
+    this targets the forward half of the bucket. Slice noise acts like
+    standard ghost-BN regularization; quality-gated like every tpu_opt
+    deviation before any default flip.
+
+    Selected via ``UNET_TPU_BN=slice[:k]`` (default k=8). Eval path and
+    parameter tree are identical to flax BN — bundles stay loadable, and
+    with ``n_stat >= N`` training numerics match flax's fast-variance
+    path to bf16 rounding (pinned in tests/test_models.py).
+    """
+
+    use_running_average: bool
+    n_stat: int = 8
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    scale_init: Callable = nn.initializers.ones
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", self.scale_init, (c,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            k = min(max(int(self.n_stat), 1), x.shape[0])
+            xs = x[:k].astype(jnp.float32)
+            axes = tuple(range(xs.ndim - 1))
+            mean = jnp.mean(xs, axis=axes)
+            var = jnp.maximum(jnp.mean(xs * xs, axis=axes) - mean * mean, 0.0)
+            if not self.is_initializing():
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var
+        d = self.dtype
+        y = x.astype(d) - mean.astype(d)
+        mul = jax.lax.rsqrt(var.astype(d) + jnp.asarray(self.epsilon, d))
+        return y * (mul * scale.astype(d)) + bias.astype(d)
+
+
 def batch_norm(train: bool, momentum: float = 0.9, epsilon: float = 1e-5,
                dtype: Dtype = jnp.bfloat16,
                scale_init: Callable = nn.initializers.ones,
                name: str = "bn"):
     """BatchNorm factory: flax's implementation by default,
-    FusedStatsBatchNorm under ``UNET_TPU_BN=fused`` or the Pallas
-    single-pass kernels under ``UNET_TPU_BN=pallas`` (parameter trees are
+    FusedStatsBatchNorm under ``UNET_TPU_BN=fused``, the Pallas
+    single-pass kernels under ``UNET_TPU_BN=pallas``, or slice/ghost
+    statistics under ``UNET_TPU_BN=slice[:k]`` (parameter trees are
     identical in every case, so bundles stay loadable across the switch)."""
     import os
 
@@ -177,6 +235,11 @@ def batch_norm(train: bool, momentum: float = 0.9, epsilon: float = 1e-5,
     if variant == "pallas":
         return PallasStatsBatchNorm(
             use_running_average=not train, momentum=momentum,
+            epsilon=epsilon, dtype=dtype, scale_init=scale_init, name=name)
+    if variant and variant.startswith("slice"):
+        k = int(variant.split(":", 1)[1]) if ":" in variant else 8
+        return SliceStatsBatchNorm(
+            use_running_average=not train, n_stat=k, momentum=momentum,
             epsilon=epsilon, dtype=dtype, scale_init=scale_init, name=name)
     return nn.BatchNorm(
         use_running_average=not train, momentum=momentum, epsilon=epsilon,
