@@ -390,3 +390,78 @@ class TestSliceStatsBatchNorm:
         assert isinstance(bn, SliceStatsBatchNorm) and bn.n_stat == 4
         monkeypatch.setenv("UNET_TPU_BN", "slice")
         assert batch_norm(train=True).n_stat == 8
+
+
+class TestGroupNormAsBN:
+    """GroupNormAsBN (UNET_TPU_BN=group[:g]) — the batch-stat-free point in
+    the round-5 normalization A/B. Param/stat tree identical to
+    nn.BatchNorm (running stats kept but never read); statistics per
+    (sample, group); train and eval numerics identical."""
+
+    def test_tree_matches_flax_bn(self):
+        import flax.linen as nn_
+        from unet_tpu.models.layers import GroupNormAsBN
+
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.normal(0, 1, (2, 8, 8, 6)).astype(np.float32))
+        ref = nn_.BatchNorm(use_running_average=False, dtype=jnp.float32,
+                            param_dtype=jnp.float32)
+        gn = GroupNormAsBN(use_running_average=False, dtype=jnp.float32)
+        assert jax.tree_util.tree_structure(
+            ref.init(jax.random.PRNGKey(0), x)) == jax.tree_util.tree_structure(
+            gn.init(jax.random.PRNGKey(0), x))
+
+    def test_matches_flax_groupnorm(self):
+        import flax.linen as nn_
+        from unet_tpu.models.layers import GroupNormAsBN
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.normal(1.5, 2.5, (3, 8, 8, 8)).astype(np.float32))
+        gn = GroupNormAsBN(use_running_average=False, groups=4,
+                           dtype=jnp.float32)
+        v = gn.init(jax.random.PRNGKey(0), x)
+        v = {"params": {"scale": jnp.asarray(rng.random(8), jnp.float32),
+                        "bias": jnp.asarray(rng.random(8), jnp.float32)},
+             "batch_stats": v["batch_stats"]}
+        ref = nn_.GroupNorm(num_groups=4, epsilon=1e-5, dtype=jnp.float32,
+                            param_dtype=jnp.float32)
+        rv = {"params": v["params"]}
+        y, upd = gn.apply(v, x, mutable=["batch_stats"])
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref.apply(rv, x)),
+                                   rtol=2e-4, atol=2e-4)
+        # running stats never move (kept only for tree/bundle compat)
+        np.testing.assert_array_equal(np.asarray(upd["batch_stats"]["mean"]),
+                                      np.zeros(8, np.float32))
+        np.testing.assert_array_equal(np.asarray(upd["batch_stats"]["var"]),
+                                      np.ones(8, np.float32))
+
+    def test_train_eval_identical_and_divisor_clamp(self):
+        from unet_tpu.models.layers import GroupNormAsBN
+
+        rng = np.random.default_rng(2)
+        # C=6 with groups=4 → largest divisor ≤ 4 is 3
+        x = jnp.asarray(rng.normal(0, 1, (2, 4, 4, 6)).astype(np.float32))
+        tr = GroupNormAsBN(use_running_average=False, groups=4,
+                           dtype=jnp.float32)
+        ev = GroupNormAsBN(use_running_average=True, groups=4,
+                           dtype=jnp.float32)
+        v = tr.init(jax.random.PRNGKey(0), x)
+        yt, _ = tr.apply(v, x, mutable=["batch_stats"])
+        ye = ev.apply(v, x)
+        np.testing.assert_array_equal(np.asarray(yt), np.asarray(ye))
+        # per-group normalization: each (sample, group) is standardized
+        yg = np.asarray(yt).reshape(2, 4, 4, 3, 2)
+        for n in range(2):
+            for g in range(3):
+                vals = yg[n, :, :, g, :]
+                assert abs(vals.mean()) < 1e-5
+                assert abs(vals.std() - 1.0) < 1e-2
+
+    def test_factory_selects_group_variant(self, monkeypatch):
+        from unet_tpu.models.layers import GroupNormAsBN, batch_norm
+
+        monkeypatch.setenv("UNET_TPU_BN", "group:16")
+        bn = batch_norm(train=True)
+        assert isinstance(bn, GroupNormAsBN) and bn.groups == 16
+        monkeypatch.setenv("UNET_TPU_BN", "group")
+        assert batch_norm(train=True).groups == 32

@@ -216,14 +216,66 @@ class SliceStatsBatchNorm(nn.Module):
         return y * (mul * scale.astype(d)) + bias.astype(d)
 
 
+class GroupNormAsBN(nn.Module):
+    """GroupNorm behind the BatchNorm interface (same param/stat tree:
+    scale/bias params, mean/var batch_stats) — the batch-stat-free point in
+    the VERDICT r4 next-#3 normalization A/B space.
+
+    Statistics are per-(sample, group): no cross-sample reduce exists in
+    forward OR backward, so the full-batch dmean/dvar channel reduces of
+    BN's backward — the half of the 23.3 ms BN bucket slice-BN could not
+    touch (stats broadcast into every sample's normalize) — are replaced by
+    per-sample group reduces that XLA can fuse per-shard. The running
+    mean/var variables are kept (untouched) purely so the variable tree,
+    bundles, and checkpoints stay interchangeable with every other BN
+    variant; eval uses the same batch-independent group statistics, which
+    also makes train and eval numerics identical (GN has no train/eval
+    gap).
+
+    ``groups`` is a ceiling: the largest divisor of C ≤ groups is used, so
+    any channel count works. Selected via ``UNET_TPU_BN=group[:g]``
+    (default g=32).
+    """
+
+    use_running_average: bool  # ignored: GN stats are batch-independent
+    groups: int = 32
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Dtype = jnp.bfloat16
+    param_dtype: Dtype = jnp.float32
+    scale_init: Callable = nn.initializers.ones
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        c = x.shape[-1]
+        scale = self.param("scale", self.scale_init, (c,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        # tree-compat running stats, never read (GN is batch-independent)
+        self.variable("batch_stats", "mean",
+                      lambda: jnp.zeros((c,), jnp.float32))
+        self.variable("batch_stats", "var",
+                      lambda: jnp.ones((c,), jnp.float32))
+        g = max(d for d in range(1, min(int(self.groups), c) + 1) if c % d == 0)
+        n, h, w = x.shape[0], x.shape[1], x.shape[2]
+        xg = x.reshape(n, h, w, g, c // g).astype(jnp.float32)
+        mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True)
+        var = jnp.maximum(
+            jnp.mean(xg * xg, axis=(1, 2, 4), keepdims=True) - mean * mean, 0.0)
+        d = self.dtype
+        y = (xg - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y.reshape(n, h, w, c).astype(d)
+        return y * scale.astype(d) + bias.astype(d)
+
+
 def batch_norm(train: bool, momentum: float = 0.9, epsilon: float = 1e-5,
                dtype: Dtype = jnp.bfloat16,
                scale_init: Callable = nn.initializers.ones,
                name: str = "bn"):
     """BatchNorm factory: flax's implementation by default,
     FusedStatsBatchNorm under ``UNET_TPU_BN=fused``, the Pallas
-    single-pass kernels under ``UNET_TPU_BN=pallas``, or slice/ghost
-    statistics under ``UNET_TPU_BN=slice[:k]`` (parameter trees are
+    single-pass kernels under ``UNET_TPU_BN=pallas``, slice/ghost
+    statistics under ``UNET_TPU_BN=slice[:k]``, or batch-stat-free
+    GroupNorm under ``UNET_TPU_BN=group[:g]`` (parameter trees are
     identical in every case, so bundles stay loadable across the switch)."""
     import os
 
@@ -235,6 +287,11 @@ def batch_norm(train: bool, momentum: float = 0.9, epsilon: float = 1e-5,
     if variant == "pallas":
         return PallasStatsBatchNorm(
             use_running_average=not train, momentum=momentum,
+            epsilon=epsilon, dtype=dtype, scale_init=scale_init, name=name)
+    if variant and variant.startswith("group"):
+        g = int(variant.split(":", 1)[1]) if ":" in variant else 32
+        return GroupNormAsBN(
+            use_running_average=not train, groups=g, momentum=momentum,
             epsilon=epsilon, dtype=dtype, scale_init=scale_init, name=name)
     if variant and variant.startswith("slice"):
         k = int(variant.split(":", 1)[1]) if ":" in variant else 8
