@@ -284,6 +284,30 @@ def bench_serving(tile: int = 512, batch_size: int = 16, steps: int = 6,
         tta = Predictor(str(bundle), batch_size=batch_size, tta=True)
         res["tta_mpix_s"], _, _ = measure(tta, n=max(steps // 2, 2),
                                           argmax_u8=True)
+        # End-to-end Mpix/s on this rig is LINK-bound (the ~25 MB/s axon
+        # tunnel), so the live/TTA end-to-end ratio measures tunnel
+        # weather, not TTA's compute. Report the DEVICE-level cost factor
+        # too: K forwards with outputs left on device, scalar-chained so
+        # only one fetch pays tunnel latency (the bench_predict pattern).
+        def _device_ms(pred, K=6):
+            # fully device-resident: the batch crosses h2d ONCE, then the
+            # predictor's own jitted program (populated by the end-to-end
+            # measure above) runs K times on the device array — only the
+            # final scalar fetch pays tunnel latency
+            from .parallel.mesh import shard_batch
+
+            x_dev = shard_batch(pred.mesh, np.ascontiguousarray(batch))
+            out = pred._jit_forward(pred.variables, x_dev, argmax_u8=True)
+            _sync(out)
+            lat = _fetch_latency(out)
+            t0 = time.perf_counter()
+            for _ in range(K):
+                out = pred._jit_forward(pred.variables, x_dev, argmax_u8=True)
+            _sync(out)
+            return max((time.perf_counter() - t0 - lat) / K, 1e-9) * 1e3
+
+        res["tta_device_cost_factor"] = round(
+            _device_ms(tta) / _device_ms(live), 2)
         res["tta_cost_factor"] = round(
             res["live_mpix_s"] / max(res["tta_mpix_s"], 1e-9), 2)
 
