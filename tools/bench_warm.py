@@ -74,7 +74,10 @@ def warm(name: str, timeout: int) -> dict:
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             res = json.loads(line[len("RESULT "):])
-            bench_lkg.store(name, kwargs, res)
+            # the headline is keyed by tile only in run_benchmark (the
+            # batch size can ladder down, the LKG key must not)
+            key = {"tile": kwargs["tile"]} if name == "headline" else kwargs
+            bench_lkg.store(name, key, res)
             return res
     tail = (out.stderr or out.stdout).strip().splitlines()[-3:]
     return {"error": f"rc={out.returncode}: " + " | ".join(tail)[:300]}
